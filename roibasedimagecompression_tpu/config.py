@@ -1,0 +1,166 @@
+"""Codec configuration: every bitstream-visible "law" of the RHCCQ codec in one place.
+
+The reference scatters these knobs as function defaults and driver literals; here
+they live in frozen dataclasses so the whole codec is configured from a single
+object.  Each law cites the reference location it reproduces (parity contract):
+
+- quality -> DBSCAN params:      encoder/compression/clustering.py:108-135
+- tier quality laws (2q, q2+q2): encoder/compression/test.py:116-141
+- adaptive size laws:            encoder/ROI/roi.py:17-29, encoder/compression/subregions.py:133
+- SLIC working-resolution cap:   encoder/subregions/slic.py:42-44
+- ROI mask pipeline constants:   encoder/ROI/roi.py:527-607
+- split-score logistic:          encoder/subregions/split_score.py:144-145
+- k-means switch at >=10k colors: encoder/compression/clustering.py:207-210
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class ClusteringParams:
+    """Resolved DBSCAN-style clustering parameters for one palette."""
+
+    eps: float  # euclidean distance threshold on the 0-255 RGB scale
+    min_samples: int
+    max_colors_per_cluster: int
+
+
+def clustering_params(n_colors: int, quality: float) -> ClusteringParams:
+    """quality (0-100] -> palette clustering parameters.
+
+    Reproduces encoder/compression/clustering.py:108-135:
+      eps = 128 - 1.28*q   (0 -> 1)
+      max_colors_per_cluster = ceil((n - n*q/100) / q)   (0 -> 1)
+      min_samples = 1  (=> DBSCAN degenerates to single-linkage connected components)
+    """
+    eps = 128.0 - 1.28 * float(quality)
+    if eps == 0:
+        eps = 1.0
+    if quality <= 0:
+        raise ValueError(f"quality must be > 0, got {quality}")
+    max_colors = math.ceil((-(quality / 100.0) * n_colors + n_colors) / quality)
+    if max_colors == 0:
+        max_colors = 1
+    return ClusteringParams(eps=eps, min_samples=1, max_colors_per_cluster=max_colors)
+
+
+def tier2_quality(q1: float) -> float:
+    """Tier-2 (region-group) quality law: q2 = min(2*q1, 100).
+
+    encoder/compression/test.py:116-120 / rhccq.ipynb cell 12.
+    """
+    return min(2.0 * q1, 100.0)
+
+
+def tier3_quality(q2_roi: float, q2_nonroi: float) -> float:
+    """Tier-3 (whole image) quality law: q3 = min(q2_roi + q2_nonroi, 100).
+
+    encoder/compression/test.py:139-141 / rhccq.ipynb cell 14.
+    """
+    return min(q2_roi + q2_nonroi, 100.0)
+
+
+def min_region_size(image_size: int) -> int:
+    """Adaptive minimum connected-region size.
+
+    ceil(size / 10^(ceil(log10 size) - 3)); `size` counts h*w*3 elements
+    (the reference passes `image_rgb.size`).  encoder/ROI/roi.py:29,47-49.
+    """
+    return math.ceil(image_size / math.pow(10, math.ceil(math.log10(image_size)) - 3))
+
+
+def segment_window(region_size: int) -> int:
+    """Max SLIC segment count window for a region of `size` elements (h*w*3).
+
+    window = ceil(ceil(log10 s) * ln s).  encoder/compression/subregions.py:133.
+    """
+    return math.ceil(math.ceil(math.log10(region_size)) * math.log(region_size))
+
+
+def logistic_segments(score: float, window: int) -> int:
+    """Split score (0-1) -> SLIC segment count via a logistic gate.
+
+    normalize_result at encoder/subregions/split_score.py:144-145, consumed
+    with ceil + floor-to-1 at encoder/compression/subregions.py:134-138.
+    """
+    n = math.ceil(window / (1.0 + math.exp(-12.0 * (score - 0.5))))
+    return max(1, n)
+
+
+def slic_scale_factor(max_dim: int) -> float:
+    """Working-resolution downscale factor for SLIC (cap at 500 px max dim).
+
+    round(500 / max_dim, 1) clamped to <= 1.  encoder/subregions/slic.py:42-44.
+    """
+    s = round(500.0 / float(max_dim), 1)
+    return min(s, 1.0)
+
+
+# Palette size at which clustering switches from DBSCAN to mini-batch k-means
+# (encoder/compression/clustering.py:207).
+KMEANS_SWITCH_COLORS = 10_000
+
+
+def kmeans_n_clusters(n_colors: int, quality: float) -> int:
+    """Cluster count for the large-palette k-means path.
+
+    ceil(n * (q/100) / 10).  encoder/compression/clustering.py:210.
+    """
+    return max(1, math.ceil(n_colors * (quality / 100.0) / 10.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class RoiConfig:
+    """ROI mask pipeline constants (encoder/ROI/roi.py:527-607 call chain)."""
+
+    density_kernel: int = 3            # roi.py:23
+    thin_density_threshold: float = 0.10   # roi.py:550
+    thin_thinness_threshold: float = 0.3   # roi.py:550 (thin_regions2.py default)
+    thin_window: int = 25              # roi.py:550
+    thin_min_region_size: int = 10     # identify_thin_regions_ultrafast default
+    noise_min_size: int = 75           # roi.py:552
+    noise_density_threshold: float = 0.2   # remove_small_noise_regions default
+    noise_window: int = 15             # remove_small_noise_regions default
+    close_distance: int = 5            # roi.py:559 (ellipse kernel 11x11)
+    bridge1_max_gap: int = 100         # roi.py:564
+    bridge1_density: float = 0.2       # roi.py:564
+    bridge_local_window: int = 15      # roi.py:564
+    bridge_regional_window: int = 25   # roi.py:564
+    border_sensitivity: float = 0.5    # roi.py:748 (detect_meaningful_borders call)
+    border_protect_kernel: int = 15    # roi.py:751
+    bridge2_max_gap: int = 25          # roi.py:761
+    fill_min_hole: int = 10            # roi.py:768
+    fill_max_hole: int = 10_000        # roi.py:768
+    clean_min_size: int = 5            # roi.py:775
+    buffer_size: int = 3               # extract_roi_nonroi default, roi.py:685
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Top-level codec configuration (quality preset + pipeline switches)."""
+
+    roi_quality: float = 20.0          # encoder/compression/test.py:100
+    nonroi_quality: float = 10.0       # encoder/compression/test.py:101
+    roi: RoiConfig = dataclasses.field(default_factory=RoiConfig)
+    slic_compactness: float = 10.0     # encoder/subregions/slic.py:41
+    slic_sigma: float = 1.0            # skimage slic sigma at slic.py:93
+    segment_pad: int = 2               # encoder/compression/subregions.py:350
+    seed: int = 42                     # clustering.py:214,751 (random_state=42)
+    # When True, treat the whole image as a single region (the degenerate path
+    # the reference falls into when region extraction fails, test.py:124-128).
+    single_region: bool = False
+
+    @property
+    def roi_tier2_quality(self) -> float:
+        return tier2_quality(self.roi_quality)
+
+    @property
+    def nonroi_tier2_quality(self) -> float:
+        return tier2_quality(self.nonroi_quality)
+
+    @property
+    def image_quality(self) -> float:
+        return tier3_quality(self.roi_tier2_quality, self.nonroi_tier2_quality)

@@ -1,0 +1,165 @@
+"""The .rhccq container: palette + index-matrix with zlib entropy coding.
+
+Format (read/write compatible with the reference bitstream so the 35 shipped
+golden artifacts decode bit-exactly):
+
+    file := b"RHCCQ" | <u32 little-endian payload length> | zlib(pickle(dict))
+    dict := {'s': (h, w), 'l': n_colors, 'p': zlib(palette u8 bytes),
+             'i': zlib(indices minimal-dtype bytes), 'd': dtype name}
+
+Reference: encoder/compression/compression.py:119-202 (writer),
+decoder/uncompression/uncompression.py:58-150 (reader).  An older legacy layout
+uses key 'ps' instead of 'l' and omits 'd' (defaults to uint16,
+compression.py:85-116 / uncompression.py:75).
+
+The embedded pickle only ever contains builtin types (tuple/int/str/bytes), so
+reading uses a restricted unpickler that refuses to resolve any global — no
+arbitrary-code execution is possible from a hostile file.
+
+This module is pure host code by design: the bitstream is zlib/DEFLATE which
+stays on the CPU; the device side produces the (palette, indices) tensors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io as _io
+import pickle
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = b"RHCCQ"
+
+_DTYPES = {"uint8": np.uint8, "uint16": np.uint16, "uint32": np.uint32}
+
+
+# The reference writer pickles dicts that may contain numpy scalars/arrays
+# (e.g. shape entries that are np.intp).  These constructors only build data —
+# they cannot execute code — so they are the entire allowlist.
+_SAFE_GLOBALS = {
+    ("numpy._core.multiarray", "scalar"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy", "dtype"),
+    ("numpy", "ndarray"),
+}
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    """Unpickler that only resolves a tiny numpy data-constructor allowlist."""
+
+    def find_class(self, module, name):
+        if (module, name) in _SAFE_GLOBALS:
+            import importlib
+
+            return getattr(importlib.import_module(module), name)
+        raise pickle.UnpicklingError(
+            f"rhccq container may not reference globals ({module}.{name})"
+        )
+
+
+def _restricted_loads(data: bytes):
+    return _RestrictedUnpickler(_io.BytesIO(data)).load()
+
+
+def min_index_dtype(max_index: int) -> np.dtype:
+    """Smallest unsigned dtype for palette indices (compression.py:179-190)."""
+    if max_index < 256:
+        return np.dtype(np.uint8)
+    if max_index < 65536:
+        return np.dtype(np.uint16)
+    return np.dtype(np.uint32)
+
+
+@dataclasses.dataclass
+class Rhccq:
+    """Decoded container payload: a palette image in indexed form."""
+
+    palette: np.ndarray  # (n, 3) uint8
+    indices: np.ndarray  # (h, w) unsigned int
+    shape: tuple  # (h, w)
+
+    @property
+    def n_colors(self) -> int:
+        return int(self.palette.shape[0])
+
+    def to_rgb(self) -> np.ndarray:
+        """Palette gather -> (h, w, 3) uint8 (uncompression.py:202-209)."""
+        return self.palette[self.indices]
+
+
+def pack(palette: np.ndarray, indices: np.ndarray, shape=None) -> bytes:
+    """Serialize palette + indices to .rhccq bytes (reference-compatible).
+
+    Matches lossless_compress_optimized + save_compressed byte-for-byte given
+    the same inputs: zlib level 9 for both streams and for the pickled dict,
+    pickle protocol 5, minimal index dtype chosen from the max index.
+    """
+    palette = np.ascontiguousarray(np.asarray(palette, dtype=np.uint8).reshape(-1, 3))
+    indices = np.asarray(indices)
+    if shape is None:
+        if indices.ndim != 2:
+            raise ValueError("shape required when indices are flat")
+        shape = indices.shape
+    h, w = int(shape[0]), int(shape[1])
+    flat = indices.reshape(-1)
+    max_index = int(flat.max()) if flat.size else 0
+    if max_index >= palette.shape[0]:
+        raise ValueError(f"index {max_index} out of range for palette of {palette.shape[0]}")
+    dtype = min_index_dtype(max_index)
+    payload = {
+        "s": (h, w),
+        "l": int(palette.shape[0]),
+        "p": zlib.compress(palette.tobytes(), 9),
+        "i": zlib.compress(np.ascontiguousarray(flat.astype(dtype)).tobytes(), 9),
+        "d": dtype.name,
+    }
+    blob = zlib.compress(pickle.dumps(payload, protocol=5), 9)
+    return MAGIC + struct.pack("<I", len(blob)) + blob
+
+
+def unpack(data: bytes) -> Rhccq:
+    """Parse .rhccq bytes (both the 'l'/'d' and legacy 'ps' layouts)."""
+    if data[:5] != MAGIC:
+        raise ValueError("Invalid file format")
+    (size,) = struct.unpack("<I", data[5:9])
+    payload = _restricted_loads(zlib.decompress(data[9 : 9 + size]))
+    if not isinstance(payload, dict):
+        raise ValueError("corrupt container payload")
+    h, w = payload["s"]
+    n_colors = int(payload.get("l", payload.get("ps")))
+    palette = np.frombuffer(zlib.decompress(payload["p"]), dtype=np.uint8)
+    palette = palette.reshape(n_colors, 3).copy()
+    raw = zlib.decompress(payload["i"])
+    dtype_name = payload.get("d")
+    if dtype_name in _DTYPES:
+        dtype = _DTYPES[dtype_name]
+    else:
+        # Legacy layout default, with size-based inference fallback
+        # (uncompression.py:75, :116-124).
+        total = h * w
+        bpp = len(raw) / total if total else 2
+        dtype = np.uint8 if bpp <= 1 else (np.uint16 if bpp <= 2 else np.uint32)
+    indices = np.frombuffer(raw, dtype=dtype).reshape(h, w).copy()
+    return Rhccq(palette=palette, indices=indices, shape=(int(h), int(w)))
+
+
+def save(palette: np.ndarray, indices: np.ndarray, path, shape=None) -> int:
+    """Write an .rhccq file; returns total file size in bytes."""
+    data = pack(palette, indices, shape)
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
+def load(path) -> Rhccq:
+    with open(path, "rb") as f:
+        return unpack(f.read())
+
+
+def decode_file(path) -> np.ndarray:
+    """Load + reconstruct: .rhccq path -> (h, w, 3) uint8 RGB."""
+    return load(path).to_rgb()
