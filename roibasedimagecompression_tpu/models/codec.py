@@ -1,0 +1,163 @@
+"""Top-level codec: encode() / decode() public API.
+
+Pipeline (encoder/compression/test.py:77-151 driver structure):
+  ROI mask pipeline -> region extraction -> per-region SLIC segmentation ->
+  tier-1 per-segment palette clustering -> per-region canvas merge ->
+  tier-2 per-group re-cluster (q2 = min(2q, 100)) ->
+  tier-3 whole-image re-cluster (q3 = min(q2_roi + q2_nonroi, 100)) ->
+  zlib container.
+
+config.single_region short-circuits the ROI stage and treats the whole image
+as one ROI region — the degenerate path the reference falls into when region
+extraction fails (test.py:124-128).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from roibasedimagecompression_tpu import config as cfg
+from roibasedimagecompression_tpu.io import container
+from roibasedimagecompression_tpu.models import quantize as Q
+from roibasedimagecompression_tpu.models import segment as SEG
+from roibasedimagecompression_tpu.utils.timing import stage_timer
+
+
+def _black_repair(pixels: np.ndarray) -> np.ndarray:
+    """Replace black pixels inside a segment with the nearest non-black color.
+
+    Reference semantics (encoder/compression/subregions.py:392-421): the
+    "nearest" color to [0,0,0] is by L2 in color space, i.e. every black pixel
+    receives the segment's darkest non-black color.
+    """
+    black = np.all(pixels == 0, axis=1)
+    if not black.any():
+        return pixels
+    non_black = pixels[~black]
+    if len(non_black) == 0:
+        return pixels
+    norms = (non_black.astype(np.int64) ** 2).sum(axis=1)
+    darkest = non_black[np.argmin(norms)]
+    out = pixels.copy()
+    out[black] = darkest
+    return out
+
+
+def subregion_quantization(
+    image_rgb: np.ndarray,
+    regions: list,
+    quality: float,
+    config: cfg.CodecConfig,
+) -> list:
+    """Tier 1: per-region SLIC segmentation + per-segment palette clustering
+    (encoder/compression/subregions.py:90-683).  Returns one merged Component
+    per region."""
+    h, w = image_rgb.shape[:2]
+    out = []
+    for region in regions:
+        minr, minc, maxr, maxc = region.bbox
+        crop = image_rgb[minr:maxr, minc:maxc]
+        mask = region.bbox_mask
+
+        n_seg = SEG.optimal_segments(crop, mask)
+        labels = SEG.region_segments(
+            crop, mask, n_seg,
+            compactness=config.slic_compactness, sigma=config.slic_sigma,
+        )
+
+        comps = []
+        for seg_id in range(1, int(labels.max()) + 1):
+            seg_mask = labels == seg_id
+            if not seg_mask.any():
+                continue
+            rows = np.flatnonzero(seg_mask.any(axis=1))
+            cols = np.flatnonzero(seg_mask.any(axis=0))
+            pad = config.segment_pad
+            r0 = max(0, rows[0] - pad)
+            r1 = min(crop.shape[0] - 1, rows[-1] + pad)
+            c0 = max(0, cols[0] - pad)
+            c1 = min(crop.shape[1] - 1, cols[-1] + pad)
+
+            seg_crop_mask = seg_mask[r0 : r1 + 1, c0 : c1 + 1]
+            bbox_crop = crop[r0 : r1 + 1, c0 : c1 + 1]
+            seg_img = np.zeros_like(bbox_crop)
+            seg_img[seg_crop_mask] = _black_repair(bbox_crop[seg_crop_mask])
+
+            comp = Q.from_pixels(seg_img, (minr + r0, minc + c0))
+            comp = Q.cluster_component(comp, quality, seed=config.seed)
+            comps.append(comp)
+
+        if not comps:
+            continue
+        if len(comps) > 1:
+            out.append(Q.merge_components(comps, region.bbox))
+        else:
+            out.append(comps[0])
+    return out
+
+
+def encode(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB image to .rhccq bytes."""
+    config = config or cfg.CodecConfig()
+    image_rgb = np.ascontiguousarray(np.asarray(image_rgb, dtype=np.uint8))
+    h, w = image_rgb.shape[:2]
+    min_size = cfg.min_region_size(image_rgb.size)
+
+    with stage_timer("roi"):
+        if config.single_region:
+            roi_regions = [
+                SEG.Region(
+                    bbox=(0, 0, h, w),
+                    bbox_mask=np.ones((h, w), bool),
+                    area=h * w,
+                    kind="roi",
+                )
+            ]
+            nonroi_regions = []
+        else:
+            from roibasedimagecompression_tpu.models import roi as ROI
+
+            roi_mask, nonroi_mask = ROI.roi_masks(image_rgb, config)
+            roi_regions = SEG.extract_regions(roi_mask, "roi")
+            nonroi_regions = SEG.extract_regions(nonroi_mask, "nonroi")
+            roi_regions, nonroi_regions = SEG.reassign_small_roi(
+                roi_regions, nonroi_regions, min_size
+            )
+
+    with stage_timer("tier1"):
+        roi_comps = subregion_quantization(
+            image_rgb, roi_regions, config.roi_quality, config
+        )
+        nonroi_comps = subregion_quantization(
+            image_rgb, nonroi_regions, config.nonroi_quality, config
+        )
+
+    with stage_timer("tier2"):
+        image_components = []
+        if roi_comps:
+            image_components.append(
+                Q.region_quantization(
+                    roi_comps, h, w, config.roi_tier2_quality, seed=config.seed
+                )
+            )
+        if nonroi_comps:
+            image_components.append(
+                Q.region_quantization(
+                    nonroi_comps, h, w, config.nonroi_tier2_quality, seed=config.seed
+                )
+            )
+
+    with stage_timer("tier3"):
+        final = Q.quantize_image(
+            image_components, h, w, config.image_quality, seed=config.seed
+        )
+
+    with stage_timer("container"):
+        return container.pack(final.palette, final.indices)
+
+
+def decode(source) -> np.ndarray:
+    """Decode .rhccq bytes or a file path to (h, w, 3) uint8 RGB."""
+    if isinstance(source, (bytes, bytearray)):
+        return container.unpack(bytes(source)).to_rgb()
+    return container.decode_file(source)

@@ -1,0 +1,231 @@
+"""Connected-component labeling on device via iterative min-label propagation.
+
+Union-find does not map onto a TPU; instead each foreground pixel starts with
+its flat index and repeatedly takes the minimum over its (4- or 8-) neighbors,
+accelerated with pointer jumping (labels <- labels[labels]) which collapses
+chains logarithmically.  Replaces cv2.connectedComponentsWithStats call sites
+(encoder/ROI/roi.py:291,902,990,1037; thin_regions2.py:33,174;
+small_regions.py:13,207).
+
+Per-label statistics (area, bbox, value means) are computed with one
+np.bincount family pass, mirroring the vectorized stats the reference uses
+(thin_regions2.py:199-213).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def propagate_labels(
+    mask: jnp.ndarray, connectivity: int = 8, max_iters: int = 256
+) -> jnp.ndarray:
+    """Min-index labels per component; background pixels get INT_MAX.
+
+    Returns (h, w) int32 where each component carries the minimum flat index
+    of its pixels.
+    """
+    h, w = mask.shape
+    fg = mask.astype(jnp.bool_)
+    flat_ids = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    init = jnp.where(fg, flat_ids, _INT_MAX)
+
+    if connectivity == 4:
+        shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    else:
+        shifts = [
+            (0, 1), (0, -1), (1, 0), (-1, 0),
+            (1, 1), (1, -1), (-1, 1), (-1, -1),
+        ]
+
+    def neighbor_min(lab):
+        padded = jnp.pad(lab, 1, constant_values=_INT_MAX)
+        out = lab
+        for dr, dc in shifts:
+            out = jnp.minimum(
+                out, jax.lax.dynamic_slice(padded, (1 + dr, 1 + dc), (h, w))
+            )
+        return jnp.where(fg, out, _INT_MAX)
+
+    def jump(lab):
+        flat = lab.reshape(-1)
+        safe = jnp.where(flat < h * w, flat, 0)
+        return jnp.where(
+            fg, jnp.minimum(lab, flat[safe].reshape(h, w)), _INT_MAX
+        )
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        lab, _, it = state
+        new = jump(jump(neighbor_min(lab)))
+        return new, jnp.any(new != lab), it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
+    return labels
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def propagate_equal_labels(
+    values: jnp.ndarray,
+    mask: jnp.ndarray,
+    connectivity: int = 4,
+    max_iters: int = 256,
+) -> jnp.ndarray:
+    """Min-index labels of components where neighbors must share `values`.
+
+    Used to split a segmentation map into its connected fragments (SLIC
+    enforce-connectivity).  Background (mask False) gets INT_MAX.
+    """
+    h, w = values.shape
+    fg = mask.astype(jnp.bool_)
+    flat_ids = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    init = jnp.where(fg, flat_ids, _INT_MAX)
+    vals = jnp.where(fg, values.astype(jnp.int32), -1)
+
+    if connectivity == 4:
+        shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    else:
+        shifts = [
+            (0, 1), (0, -1), (1, 0), (-1, 0),
+            (1, 1), (1, -1), (-1, 1), (-1, -1),
+        ]
+
+    pad_vals = jnp.pad(vals, 1, constant_values=-2)
+
+    def neighbor_min(lab):
+        padded = jnp.pad(lab, 1, constant_values=_INT_MAX)
+        out = lab
+        for dr, dc in shifts:
+            nb_lab = jax.lax.dynamic_slice(padded, (1 + dr, 1 + dc), (h, w))
+            nb_val = jax.lax.dynamic_slice(pad_vals, (1 + dr, 1 + dc), (h, w))
+            out = jnp.minimum(out, jnp.where(nb_val == vals, nb_lab, _INT_MAX))
+        return jnp.where(fg, out, _INT_MAX)
+
+    def jump(lab):
+        flat = lab.reshape(-1)
+        safe = jnp.where(flat < h * w, flat, 0)
+        return jnp.where(fg, jnp.minimum(lab, flat[safe].reshape(h, w)), _INT_MAX)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        lab, _, it = state
+        new = jump(jump(neighbor_min(lab)))
+        return new, jnp.any(new != lab), it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
+    return labels
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def adopt_labels(
+    labels: jnp.ndarray, keep: jnp.ndarray, mask: jnp.ndarray, max_iters: int = 1024
+) -> jnp.ndarray:
+    """Flood labels from kept pixels into unkept mask pixels (4-neighborhood).
+
+    Each unkept pixel repeatedly adopts the minimum labeled neighbor until all
+    mask pixels carry a label (SLIC small-fragment absorption).
+    """
+    h, w = labels.shape
+    fg = mask.astype(jnp.bool_)
+    lab0 = jnp.where(keep & fg, labels.astype(jnp.int32), _INT_MAX)
+
+    def cond(state):
+        lab, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        lab, _, it = state
+        padded = jnp.pad(lab, 1, constant_values=_INT_MAX)
+        best = lab
+        for dr, dc in [(0, 1), (0, -1), (1, 0), (-1, 0)]:
+            best = jnp.minimum(
+                best, jax.lax.dynamic_slice(padded, (1 + dr, 1 + dc), (h, w))
+            )
+        new = jnp.where(fg & (lab == _INT_MAX), best, lab)
+        return new, jnp.any(new != lab), it + 1
+
+    out, _, _ = jax.lax.while_loop(cond, body, (lab0, jnp.bool_(True), 0))
+    return jnp.where(fg & (out != _INT_MAX), out, jnp.where(fg, labels, out))
+
+
+def connected_components(mask: np.ndarray, connectivity: int = 8):
+    """cv2.connectedComponents analogue: (labels (h, w) int32 with 0 =
+    background and 1..num compact ids, num_labels incl. background)."""
+    mask = np.asarray(mask) != 0
+    if not mask.any():
+        return np.zeros(mask.shape, np.int32), 1
+    raw = np.asarray(propagate_labels(jnp.asarray(mask), connectivity))
+    fg = mask
+    vals = raw[fg]
+    uniq, inv = np.unique(vals, return_inverse=True)
+    labels = np.zeros(mask.shape, np.int32)
+    labels[fg] = inv.astype(np.int32) + 1
+    return labels, len(uniq) + 1
+
+
+@dataclasses.dataclass
+class ComponentStats:
+    """Per-component stats, indexed by compact label (0 = background row)."""
+
+    areas: np.ndarray  # (num,) int64
+    bboxes: np.ndarray  # (num, 4) int32 (minr, minc, maxr, maxc) exclusive max
+
+    def width(self):
+        return self.bboxes[:, 3] - self.bboxes[:, 1]
+
+    def height(self):
+        return self.bboxes[:, 2] - self.bboxes[:, 0]
+
+
+def component_stats(labels: np.ndarray, num_labels: int) -> ComponentStats:
+    """Areas + bounding boxes per label via bincount/extrema (one pass)."""
+    flat = labels.ravel()
+    areas = np.bincount(flat, minlength=num_labels)
+    h, w = labels.shape
+    rows = np.repeat(np.arange(h), w)
+    cols = np.tile(np.arange(w), h)
+    minr = np.full(num_labels, h, np.int64)
+    maxr = np.zeros(num_labels, np.int64)
+    minc = np.full(num_labels, w, np.int64)
+    maxc = np.zeros(num_labels, np.int64)
+    np.minimum.at(minr, flat, rows)
+    np.maximum.at(maxr, flat, rows)
+    np.minimum.at(minc, flat, cols)
+    np.maximum.at(maxc, flat, cols)
+    bboxes = np.stack([minr, minc, maxr + 1, maxc + 1], axis=1).astype(np.int32)
+    bboxes[areas == 0] = 0
+    return ComponentStats(areas=areas, bboxes=bboxes)
+
+
+def label_means(labels: np.ndarray, values: np.ndarray, num_labels: int) -> np.ndarray:
+    """Mean of `values` per label (density/distance means in the ROI stack)."""
+    flat = labels.ravel()
+    sums = np.bincount(flat, weights=values.ravel().astype(np.float64), minlength=num_labels)
+    counts = np.bincount(flat, minlength=num_labels)
+    out = np.zeros(num_labels, np.float64)
+    nz = counts > 0
+    out[nz] = sums[nz] / counts[nz]
+    return out
+
+
+def remove_labels(mask: np.ndarray, labels: np.ndarray, drop_ids: np.ndarray) -> np.ndarray:
+    """Zero out the pixels of the given label ids (np.isin pattern)."""
+    if len(drop_ids) == 0:
+        return mask.copy()
+    out = mask.copy()
+    out[np.isin(labels, drop_ids)] = 0
+    return out

@@ -1,0 +1,271 @@
+"""Palette clustering kernels: eps-connectivity components and k-means.
+
+The reference clusters palettes with sklearn DBSCAN(min_samples=1) — which is
+exactly single-linkage connected components of the eps-threshold graph — and
+splits oversized clusters with recursive KMeans (encoder/compression/
+clustering.py:160-437, 720-801).  Irregular neighbor expansion does not map to
+a TPU, so the eps-graph components are computed as masked dense distance sweeps:
+tiled pairwise distances (MXU matmul form) + iterative min-label propagation
+with pointer jumping.  All kernels are pure, padded and vmap-friendly so whole
+batches of segment palettes can be clustered in one device call.
+
+Scale note: the reference switches DBSCAN -> MiniBatchKMeans at >=10k colors
+(clustering.py:207), so eps-components only ever sees n < 10k; k-means handles
+the large path with chunked assignment.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _sq_dists(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(m, d) x (n, d) -> (m, n) squared euclidean distances via MXU matmul."""
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=1, keepdims=True)
+    # HIGHEST precision: palette points are integer-valued (u8 colors), so the
+    # expansion |a|^2+|b|^2-2ab is *exact* in f32 — but only if the MXU doesn't
+    # demote the product to bf16 (default TPU matmul precision flips borderline
+    # eps comparisons).
+    ab = jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.maximum(a2 + b2.T - 2.0 * ab, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "max_iters"))
+def eps_components(
+    points: jax.Array,
+    eps: jax.Array,
+    valid: jax.Array,
+    groups: jax.Array | None = None,
+    *,
+    chunk: int = 512,
+    max_iters: int = 64,
+) -> jax.Array:
+    """Connected components of the eps-distance graph (DBSCAN, min_samples=1).
+
+    Args:
+      points: (n, d) float32, padded; invalid rows may hold anything.
+      eps: scalar distance threshold (same scale as points).
+      valid: (n,) bool validity mask.
+      groups: optional (n,) int32; edges only connect equal group ids.  This is
+        how many segment palettes cluster in ONE call: concatenate them and tag
+        each point with its segment id (block-diagonal adjacency).
+    Returns:
+      (n,) int32 labels; each component is labelled by its minimum point index.
+      Invalid points get n.
+    """
+    n, _ = points.shape
+    pad = (-n) % chunk
+    if pad:
+        points = jnp.pad(points, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+        if groups is not None:
+            groups = jnp.pad(groups, (0, pad), constant_values=-1)
+    m = points.shape[0]
+    points = points.astype(jnp.float32)
+    eps2 = jnp.asarray(eps, jnp.float32) ** 2
+    if groups is None:
+        groups = jnp.zeros((m,), jnp.int32)
+    groups = jnp.where(valid, groups, -1)
+
+    init = jnp.where(valid, jnp.arange(m, dtype=jnp.int32), _INT_MAX)
+
+    def sweep(labels):
+        def one_chunk(start):
+            rows = jax.lax.dynamic_slice_in_dim(points, start, chunk)
+            g = jax.lax.dynamic_slice_in_dim(groups, start, chunk)
+            d2 = _sq_dists(rows, points)
+            adj = (d2 <= eps2) & (g[:, None] == groups[None, :]) & (g[:, None] >= 0)
+            return jnp.min(jnp.where(adj, labels[None, :], _INT_MAX), axis=1)
+
+        starts = jnp.arange(0, m, chunk)
+        new = jax.lax.map(one_chunk, starts).reshape(m)
+        return jnp.where(valid, jnp.minimum(labels, new), _INT_MAX)
+
+    def hop(labels):
+        # Pointer jumping: labels[i] <- labels[labels[i]] (log-depth shortcuts).
+        safe = jnp.where(labels < m, labels, 0)
+        return jnp.where(valid, jnp.minimum(labels, labels[safe]), _INT_MAX)
+
+    def cond(state):
+        labels, prev_changed, it = state
+        return prev_changed & (it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = sweep(labels)
+        new = hop(hop(new))
+        changed = jnp.any(new != labels)
+        return new, changed, it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
+    # Canonicalize pad sentinel to n for the caller's original length.
+    return jnp.where(labels == _INT_MAX, n, labels)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("k_max", "iters", "chunk", "plusplus"))
+def kmeans(
+    points: jax.Array,
+    valid: jax.Array,
+    k: jax.Array,
+    *,
+    k_max: int,
+    iters: int = 25,
+    seed: int = 42,
+    chunk: int = 2048,
+    plusplus: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Lloyd k-means with k-means++ (or seeded-random) init, padded shapes.
+
+    Args:
+      points: (n, d) float32 padded; valid: (n,) bool; k: dynamic cluster count
+        (<= k_max, static padding bound).
+    Returns:
+      (labels (n,) int32 in [0, k), centers (k_max, d) float32).
+    Replaces sklearn KMeans/MiniBatchKMeans at clustering.py:211,751 — the
+    assignment step is a chunked MXU matmul, the update a segment-sum.
+    """
+    n, d = points.shape
+    pad = (-n) % chunk
+    if pad:
+        points = jnp.pad(points, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    m = points.shape[0]
+    points = points.astype(jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    k = jnp.asarray(k, jnp.int32)
+    center_valid = jnp.arange(k_max) < k
+    big = jnp.float32(3.4e38)
+
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    if plusplus:
+        # k-means++: first center sampled uniformly, the rest proportional to
+        # the squared distance to the nearest chosen center.
+        def init_step(i, state):
+            centers, min_d2, key = state
+            key, sub = jax.random.split(key)
+            logits = jnp.where(valid & (min_d2 > 0), jnp.log(min_d2 + 1e-20), -jnp.inf)
+            # Degenerate case (all remaining distances zero): uniform over valid.
+            logits = jnp.where(
+                jnp.any(jnp.isfinite(logits)), logits, jnp.where(valid, 0.0, -jnp.inf)
+            )
+            idx = jax.random.categorical(sub, logits)
+            new_center = points[idx]
+            centers = jnp.where(i < k, centers.at[i].set(new_center), centers)
+            d2_new = jnp.sum((points - new_center[None, :]) ** 2, axis=1)
+            min_d2 = jnp.where(i < k, jnp.minimum(min_d2, d2_new), min_d2)
+            return centers, min_d2, key
+
+        key, sub = jax.random.split(key)
+        first = jax.random.categorical(sub, jnp.where(valid, 0.0, -jnp.inf))
+        centers0 = jnp.zeros((k_max, d), jnp.float32).at[0].set(points[first])
+        min_d2 = jnp.sum((points - points[first][None, :]) ** 2, axis=1)
+        min_d2 = jnp.where(valid, min_d2, 0.0)
+        centers, _, _ = jax.lax.fori_loop(1, k_max, init_step, (centers0, min_d2, key))
+    else:
+        # Seeded random distinct-point init (large-k path, one shot).
+        scores = jax.random.uniform(key, (m,)) + jnp.where(valid, 0.0, 2.0)
+        order = jnp.argsort(scores)  # valid points first, random order
+        take = order[:k_max]
+        # If fewer valid points than k_max, reuse point 0 (masked by center_valid anyway).
+        centers = points[take]
+
+    def assign(centers):
+        def one_chunk(start):
+            rows = jax.lax.dynamic_slice_in_dim(points, start, chunk)
+            d2 = _sq_dists(rows, centers)
+            d2 = jnp.where(center_valid[None, :], d2, big)
+            return jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+        starts = jnp.arange(0, m, chunk)
+        return jax.lax.map(one_chunk, starts).reshape(m)
+
+    def lloyd(_, centers):
+        labels = assign(centers)
+        labels_v = jnp.where(valid, labels, k_max)  # pad bucket
+        sums = jax.ops.segment_sum(
+            jnp.where(valid[:, None], points, 0.0), labels_v, num_segments=k_max + 1
+        )[:k_max]
+        counts = jax.ops.segment_sum(
+            valid.astype(jnp.float32), labels_v, num_segments=k_max + 1
+        )[:k_max]
+        new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
+        # Empty clusters keep their previous center.
+        return jnp.where(counts[:, None] > 0, new_centers, centers)
+
+    centers = jax.lax.fori_loop(0, iters, lloyd, centers)
+    labels = assign(centers)
+    return labels[:n], centers
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    """Round up to the next power of two (bounded shape-bucketing for jit)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def kmeans_host(points: np.ndarray, k: int, *, seed: int = 42, iters: int = 25) -> np.ndarray:
+    """Host wrapper: bucket-padded k-means labels for an (n, d) float array."""
+    points = np.asarray(points, dtype=np.float32)
+    n, d = points.shape
+    if k <= 1 or n <= 1:
+        return np.zeros(n, dtype=np.int32)
+    k = min(k, n)
+    n_pad = _bucket(n)
+    k_max = _bucket(k, minimum=2)
+    pts = np.zeros((n_pad, d), np.float32)
+    pts[:n] = points
+    valid = np.zeros(n_pad, bool)
+    valid[:n] = True
+    chunk = min(2048, n_pad)
+    labels, _ = kmeans(
+        jnp.asarray(pts),
+        jnp.asarray(valid),
+        k,
+        k_max=k_max,
+        iters=iters,
+        seed=seed,
+        chunk=chunk,
+        plusplus=k_max <= 256,
+    )
+    return np.asarray(labels[:n])
+
+
+def eps_components_host(
+    points: np.ndarray, eps: float, groups: np.ndarray | None = None
+) -> np.ndarray:
+    """Host wrapper: bucket-padded eps-graph component labels."""
+    points = np.asarray(points, dtype=np.float32)
+    n = points.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    n_pad = _bucket(n)
+    pts = np.zeros((n_pad, points.shape[1]), np.float32)
+    pts[:n] = points
+    valid = np.zeros(n_pad, bool)
+    valid[:n] = True
+    g = None
+    if groups is not None:
+        g = np.full(n_pad, -1, np.int32)
+        g[:n] = groups
+        g = jnp.asarray(g)
+    chunk = min(512, n_pad)
+    labels = eps_components(
+        jnp.asarray(pts), jnp.float32(eps), jnp.asarray(valid), g, chunk=chunk
+    )
+    return np.asarray(labels[:n])

@@ -1,0 +1,129 @@
+"""2-D convolution primitives: Sobel variants, box density, Gaussian, custom
+kernels.  All are thin wrappers over lax.conv_general_dilated so XLA fuses the
+surrounding elementwise work; they replace the cv2.filter2D / cv2.Sobel /
+skimage.filters.sobel call sites of the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def conv2d_same(x: jnp.ndarray, kernel: jnp.ndarray, *, reflect: bool = True) -> jnp.ndarray:
+    """Single-channel 2-D convolution, SAME size output.
+
+    cv2.filter2D / scipy.ndimage default to border reflection (BORDER_REFLECT_101
+    for cv2); reflect=True pads accordingly, else zero padding.
+    """
+    kh, kw = kernel.shape
+    ph, pw = kh // 2, kw // 2
+    x = x.astype(jnp.float32)
+    if reflect:
+        x = jnp.pad(x, ((ph, kh - 1 - ph), (pw, kw - 1 - pw)), mode="reflect")
+        padding = "VALID"
+    else:
+        padding = [(ph, kh - 1 - ph), (pw, kw - 1 - pw)]
+    # conv_general_dilated performs cross-correlation; flip for true convolution.
+    k = jnp.flip(kernel.astype(jnp.float32), (0, 1))
+    out = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None], window_strides=(1, 1), padding=padding
+    )
+    return out[0, 0]
+
+
+# cv2.Sobel ksize=3 kernels (un-normalized).
+_SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
+_SOBEL_Y = _SOBEL_X.T
+
+
+def sobel_cv2(gray: jnp.ndarray) -> tuple:
+    """cv2.Sobel(gray, CV_64F, 1, 0/0, 1, ksize=3) pair (gx, gy).
+
+    cv2 uses BORDER_REFLECT_101 ('reflect' in numpy terms).
+    """
+    g = gray.astype(jnp.float32)
+    gx = conv2d_same(g, jnp.asarray(_SOBEL_X))
+    gy = conv2d_same(g, jnp.asarray(_SOBEL_Y))
+    return gx, gy
+
+
+def sobel_magnitude_cv2(gray: jnp.ndarray) -> jnp.ndarray:
+    gx, gy = sobel_cv2(gray)
+    return jnp.sqrt(gx * gx + gy * gy)
+
+
+def sobel_skimage(img: jnp.ndarray) -> jnp.ndarray:
+    """skimage.filters.sobel edge magnitude: kernels /4, magnitude /sqrt(2).
+
+    (split_score.py:48-53,92 feeds float images in skimage scaling.)
+    """
+    h = conv2d_same(img, jnp.asarray(_SOBEL_Y) / 4.0)
+    v = conv2d_same(img, jnp.asarray(_SOBEL_X) / 4.0)
+    return jnp.sqrt(h * h + v * v) / np.sqrt(2.0)
+
+
+def box_density(binary: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+    """Local density of non-zero pixels: normalized box filter.
+
+    compute_local_density (encoder/ROI/edges.py:173-195): input scaled to 0-1
+    if max > 1, kernel = ones(k, k)/k^2, cv2.filter2D with reflected borders.
+    """
+    x = binary.astype(jnp.float32)
+    x = jnp.where(jnp.max(x) > 1.0, x / 255.0, x)
+    kernel = jnp.ones((kernel_size, kernel_size), jnp.float32) / float(kernel_size**2)
+    return conv2d_same(x, kernel)
+
+
+def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+@functools.partial(jax.jit, static_argnames=("sigma",))
+def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur (scipy.ndimage.gaussian_filter semantics,
+    reflect borders), applied over the leading two axes."""
+    if sigma <= 0:
+        return img.astype(jnp.float32)
+    k = jnp.asarray(gaussian_kernel1d(sigma))
+    x = img.astype(jnp.float32)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[..., None]
+
+    def blur_hw(ch):
+        ch = conv2d_same(ch, k[:, None])
+        return conv2d_same(ch, k[None, :])
+
+    out = jnp.stack([blur_hw(x[..., c]) for c in range(x.shape[-1])], axis=-1)
+    return out[..., 0] if squeeze else out
+
+
+def directional_reach_kernels(max_gap: int, local_window: int) -> np.ndarray:
+    """The 8 gap-bridging kernels (4 opposite-direction pairs).
+
+    create_gap_detection_kernels (encoder/ROI/small_gaps.py:274-320): each
+    kernel marks cells 1..max_gap along one direction inside a
+    (2*local_window+1)^2 window, normalized to sum 1.  Returns (8, k, k) in
+    pair order [lr0, lr1, ud0, ud1, d0, d1, a0, a1].
+    """
+    size = local_window * 2 + 1
+    dirs = [(-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (1, 1), (-1, 1), (1, -1)]
+    kernels = np.zeros((8, size, size), np.float32)
+    c = local_window
+    for i, (dx, dy) in enumerate(dirs):
+        for d in range(1, max_gap + 1):
+            x, y = c + dx * d, c + dy * d
+            if 0 <= x < size and 0 <= y < size:
+                kernels[i, y, x] = 1.0
+        s = kernels[i].sum()
+        if s > 0:
+            kernels[i] /= s
+    return kernels

@@ -1,0 +1,75 @@
+"""Palette extraction: unique colors + per-pixel indices, device-side.
+
+The reference builds palettes with a per-pixel Python dict loop
+(encoder/compression/clustering.py:41-48, the top encode hot spot).  Here a
+color is packed into one int32 (r<<16 | g<<8 | b) and uniqueness is a sort +
+adjacent-compare — O(n log n) fully on device, no host round-trip.
+
+The padded variant is jit-safe (static output size = capacity) so it can live
+inside larger fused pipelines; `unique_colors` is the host-facing exact-size
+wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_rgb(rgb: jax.Array) -> jax.Array:
+    """(..., 3) uint8 -> (...,) int32 packed 0xRRGGBB."""
+    rgb = rgb.astype(jnp.int32)
+    return (rgb[..., 0] << 16) | (rgb[..., 1] << 8) | rgb[..., 2]
+
+
+def unpack_rgb(packed: jax.Array) -> jax.Array:
+    """(...,) int32 packed -> (..., 3) uint8."""
+    r = (packed >> 16) & 0xFF
+    g = (packed >> 8) & 0xFF
+    b = packed & 0xFF
+    return jnp.stack([r, g, b], axis=-1).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def unique_packed_padded(packed: jax.Array, capacity: int):
+    """Unique values of a flat int32 array, padded to `capacity`.
+
+    Returns (values, count, inverse):
+      values:  (capacity,) sorted unique values; slots >= count hold 2^31-1
+      count:   () int32 number of unique values
+      inverse: packed.shape int32, index of each element into `values`
+    """
+    n = packed.shape[0]
+    order = jnp.argsort(packed)
+    sorted_vals = packed[order]
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_vals[1:] != sorted_vals[:-1]]
+    )
+    # Rank of each sorted element among uniques.
+    rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    count = rank[-1] + 1 if n > 0 else jnp.int32(0)
+    values = jnp.full((capacity,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    values = values.at[rank].set(sorted_vals, mode="drop")
+    inverse = jnp.zeros((n,), jnp.int32).at[order].set(rank)
+    return values, count, inverse
+
+
+def unique_colors(pixels: np.ndarray):
+    """Exact-size palette for (n, 3) uint8 pixels.
+
+    Returns (palette (m, 3) uint8 sorted by packed value, indices (n,) int32).
+    Matches np.unique(pixels, axis=0) ordering (lexicographic R, G, B).
+    """
+    pixels = np.asarray(pixels, dtype=np.uint8).reshape(-1, 3)
+    packed = jnp.asarray(
+        (pixels[:, 0].astype(np.int32) << 16)
+        | (pixels[:, 1].astype(np.int32) << 8)
+        | pixels[:, 2].astype(np.int32)
+    )
+    values, count, inverse = unique_packed_padded(packed, capacity=packed.shape[0])
+    m = int(count)
+    palette = np.asarray(unpack_rgb(values[:m]))
+    return palette, np.asarray(inverse)

@@ -8,13 +8,21 @@ import) guarantees every test sees the same topology.
 import os
 
 # Force CPU even when a TPU backend (e.g. the axon plugin) is configured:
-# tests need a deterministic virtual 8-device topology.
+# tests need a deterministic virtual 8-device topology.  The site hook imports
+# jax at interpreter startup, so plain env assignment here is too late — use
+# jax.config.update, which takes effect until the first backend init.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
+assert jax.device_count() >= 8, "expected 8 virtual CPU devices"
 
 import pathlib
 
