@@ -1,0 +1,226 @@
+"""Canny edge detection and the adaptive-threshold sweep, TPU-batched.
+
+The reference's get_edge_map runs 4 threshold methods x 5 sensitivities = 20
+full cv2.Canny passes plus 20 connected-component scorings (encoder/ROI/
+edges.py:35-85) — its top-of-pipeline hot spot.  The TPU redesign computes the
+Sobel gradient and non-maximum suppression ONCE (both are threshold-
+independent), then evaluates all 20 (low, high) candidates as one vmapped
+hysteresis + scoring pass.
+
+Parity notes vs cv2.Canny: 3x3 Sobel with replicate border, L1 gradient
+magnitude (L2gradient=False default), 4-sector NMS with cv2's tan(22.5deg)
+sector boundaries and > / >= tie-breaking, hysteresis as 8-connected
+reachability from strong pixels.  Multi-channel input takes the per-pixel
+max-magnitude channel's gradient (cv2 behavior for the final RGB Canny at
+edges.py:37).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from roibasedimagecompression_tpu.ops import cc as CC
+from roibasedimagecompression_tpu.ops import colors as COL
+from roibasedimagecompression_tpu.ops import conv as CONV
+from roibasedimagecompression_tpu.ops import hist as H
+
+_TAN22 = math.tan(math.pi / 8.0)  # 0.4142...
+_TAN67 = math.tan(3.0 * math.pi / 8.0)  # 2.4142...
+
+
+def _sobel_replicate(gray: jnp.ndarray):
+    """3x3 Sobel with replicate border (cv2.Canny's internal border mode)."""
+    g = jnp.pad(gray.astype(jnp.float32), 1, mode="edge")
+    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
+    h, w = gray.shape
+
+    def conv(k):
+        # Correlation — cv2.Sobel semantics (sign feeds the NMS sector logic).
+        out = jax.lax.conv_general_dilated(
+            g[None, None],
+            k[None, None],
+            window_strides=(1, 1),
+            padding="VALID",
+        )
+        return out[0, 0]
+
+    return conv(kx), conv(kx.T)
+
+
+def _shift(x: jnp.ndarray, dr: int, dc: int, fill=0.0) -> jnp.ndarray:
+    h, w = x.shape
+    padded = jnp.pad(x, 1, constant_values=fill)
+    return jax.lax.dynamic_slice(padded, (1 + dr, 1 + dc), (h, w))
+
+
+def gradient_and_nms(image: jnp.ndarray):
+    """Gradient magnitude + the NMS survivor mask (threshold-independent).
+
+    image: (h, w) uint8 gray or (h, w, 3) uint8 RGB.
+    Returns (mag f32, nms_pass bool).
+    """
+    if image.ndim == 3:
+        mags, gxs, gys = [], [], []
+        for c in range(3):
+            gx, gy = _sobel_replicate(image[..., c])
+            gxs.append(gx)
+            gys.append(gy)
+            mags.append(jnp.abs(gx) + jnp.abs(gy))
+        mag_stack = jnp.stack(mags)
+        best = jnp.argmax(mag_stack, axis=0)
+        mag = jnp.max(mag_stack, axis=0)
+        gx = jnp.take_along_axis(jnp.stack(gxs), best[None], axis=0)[0]
+        gy = jnp.take_along_axis(jnp.stack(gys), best[None], axis=0)[0]
+    else:
+        gx, gy = _sobel_replicate(image)
+        mag = jnp.abs(gx) + jnp.abs(gy)
+
+    ax, ay = jnp.abs(gx), jnp.abs(gy)
+    # Sector selection (cv2): horizontal if |gy| < TG22*|gx|; vertical if
+    # |gy| > TG67*|gx|; else diagonal, signed by gx*gy.
+    horizontal = ay < _TAN22 * ax
+    vertical = ay > _TAN67 * ax
+    diag = ~horizontal & ~vertical
+    same_sign = (gx * gy) >= 0
+
+    m_l, m_r = _shift(mag, 0, -1), _shift(mag, 0, 1)
+    m_u, m_d = _shift(mag, -1, 0), _shift(mag, 1, 0)
+    m_ul, m_dr = _shift(mag, -1, -1), _shift(mag, 1, 1)
+    m_ur, m_dl = _shift(mag, -1, 1), _shift(mag, 1, -1)
+
+    def keep(a, b):
+        return (mag > a) & (mag >= b)
+
+    pass_h = keep(m_l, m_r)
+    pass_v = keep(m_u, m_d)
+    pass_d1 = keep(m_ul, m_dr)  # gradient along main diagonal
+    pass_d2 = keep(m_ur, m_dl)
+
+    nms = (
+        (horizontal & pass_h)
+        | (vertical & pass_v)
+        | (diag & same_sign & pass_d1)
+        | (diag & ~same_sign & pass_d2)
+    )
+    return mag, nms
+
+
+def hysteresis(mag: jnp.ndarray, nms: jnp.ndarray, low, high) -> jnp.ndarray:
+    """Edges = NMS survivors above `low` 8-connected to one above `high`."""
+    weak = nms & (mag > low)
+    strong = nms & (mag > high)
+    labels = CC.propagate_labels(weak, connectivity=8)
+    h, w = mag.shape
+    flat = jnp.where(weak, labels, h * w).reshape(-1)
+    strong_any = jax.ops.segment_max(
+        strong.reshape(-1).astype(jnp.int32), flat, num_segments=h * w + 1
+    )
+    return weak & (strong_any[flat].reshape(h, w) > 0)
+
+
+@jax.jit
+def canny(image: jnp.ndarray, low, high) -> jnp.ndarray:
+    """cv2.Canny analogue -> bool edge map."""
+    mag, nms = gradient_and_nms(image)
+    return hysteresis(mag, nms, jnp.float32(low), jnp.float32(high))
+
+
+def _clip_pair(low, high):
+    low = jnp.clip(low, 10.0, 200.0)
+    high = jnp.clip(high, low + 10.0, 255.0)
+    return low, high
+
+
+@jax.jit
+def adaptive_thresholds(gray_u8: jnp.ndarray) -> jnp.ndarray:
+    """All 20 (low, high) candidates of compute_adaptive_canny_thresholds
+    (edges.py:87-169): 4 methods x sensitivities [0.5, 0.7, 1.0, 1.3, 1.5].
+
+    Returns (20, 2) float32 in method-major order [otsu, percentile, gradient,
+    hybrid] to match the reference's scan order (ties keep the first best).
+    """
+    g = gray_u8
+    otsu = H.otsu_threshold(g)
+    gx, gy = CONV.sobel_cv2(g.astype(jnp.float32))
+    grad = jnp.sqrt(gx * gx + gy * gy)
+    nz = grad > 0
+    p70 = H.masked_percentile(grad, nz, 70.0)
+    p90 = H.masked_percentile(grad, nz, 90.0)
+    any_nz = jnp.any(nz)
+    mean_g = jnp.mean(grad)
+    std_g = jnp.std(grad)
+
+    sens = jnp.asarray([0.5, 0.7, 1.0, 1.3, 1.5], jnp.float32)
+    pairs = []
+    for i in range(5):
+        s = sens[i]
+        # otsu: ints via truncation (reference uses int()).
+        lo = jnp.maximum(10.0, jnp.floor(otsu * 0.5 * s))
+        hi = jnp.minimum(255.0, jnp.floor(otsu * 1.5 * s))
+        pairs.append(_clip_pair(lo, hi))
+    for i in range(5):
+        s = sens[i]
+        lo = jnp.where(any_nz, p70 * s, 50.0 * s)
+        hi = jnp.where(any_nz, p90 * s, 150.0 * s)
+        pairs.append(_clip_pair(jnp.maximum(10.0, jnp.floor(lo)), jnp.minimum(255.0, jnp.floor(hi))))
+    for i in range(5):
+        s = sens[i]
+        lo = jnp.maximum(10.0, jnp.floor((mean_g - 0.5 * std_g) * s))
+        hi = jnp.minimum(255.0, jnp.floor((mean_g + 0.5 * std_g) * s))
+        pairs.append(_clip_pair(lo, hi))
+    for i in range(5):
+        s = sens[i]
+        lo = jnp.maximum(10.0, jnp.floor((otsu * 0.5 + mean_g * 0.5) * s))
+        hi = jnp.minimum(255.0, jnp.floor((otsu * 1.5 + mean_g * 1.0) * s))
+        pairs.append(_clip_pair(lo, hi))
+    return jnp.stack([jnp.stack(p) for p in pairs])
+
+
+@jax.jit
+def edge_quality_scores(gray_u8: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
+    """Score every (low, high) candidate in one batched pass.
+
+    evaluate_edge_quality (edges.py:73-85): score = mean component size
+    (8-conn) x std of gray at edge pixels.  Gradient + NMS are shared; the
+    hysteresis/labeling/scoring runs under vmap over the candidate axis.
+    """
+    mag, nms = gradient_and_nms(gray_u8)
+    grayf = gray_u8.astype(jnp.float32)
+    h, w = grayf.shape
+
+    def score_one(pair):
+        low, high = pair[0], pair[1]
+        edges = hysteresis(mag, nms, low, high)
+        labels = CC.propagate_labels(edges, connectivity=8)
+        flat = jnp.where(edges, labels, h * w).reshape(-1)
+        present = jax.ops.segment_max(
+            edges.reshape(-1).astype(jnp.int32), flat, num_segments=h * w + 1
+        )[: h * w]
+        n_comp = jnp.sum(present)
+        n_edge = jnp.sum(edges)
+        avg_size = n_edge.astype(jnp.float32) / jnp.maximum(n_comp, 1).astype(jnp.float32)
+        contrast = H.masked_std(grayf, edges)
+        return jnp.where(n_comp > 0, avg_size * contrast, -jnp.inf)
+
+    return jax.vmap(score_one)(thresholds)
+
+
+def get_edge_map(image_rgb: np.ndarray):
+    """Adaptive Canny (get_edge_map, edges.py:35-38): pick the best-scoring
+    (low, high) on the grayscale image, then run Canny on the RGB image.
+
+    Returns (edges bool (h, w), (low, high)).
+    """
+    rgb = jnp.asarray(image_rgb)
+    gray = COL.rgb_to_gray_cv2(rgb)
+    cands = adaptive_thresholds(gray)
+    scores = edge_quality_scores(gray, cands)
+    best = int(jnp.argmax(scores))
+    low, high = np.asarray(cands)[best]
+    edges = canny(rgb, float(low), float(high))
+    return np.asarray(edges), (float(low), float(high))

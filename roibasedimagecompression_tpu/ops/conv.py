@@ -15,10 +15,12 @@ import numpy as np
 
 
 def conv2d_same(x: jnp.ndarray, kernel: jnp.ndarray, *, reflect: bool = True) -> jnp.ndarray:
-    """Single-channel 2-D convolution, SAME size output.
+    """Single-channel 2-D CORRELATION, SAME size output.
 
-    cv2.filter2D / scipy.ndimage default to border reflection (BORDER_REFLECT_101
-    for cv2); reflect=True pads accordingly, else zero padding.
+    Correlation (no kernel flip) matches cv2.filter2D / cv2.Sobel semantics —
+    the reference's directional gap kernels are asymmetric, so the distinction
+    matters.  cv2 defaults to BORDER_REFLECT_101 ('reflect' padding);
+    reflect=False uses zero padding.
     """
     kh, kw = kernel.shape
     ph, pw = kh // 2, kw // 2
@@ -28,10 +30,11 @@ def conv2d_same(x: jnp.ndarray, kernel: jnp.ndarray, *, reflect: bool = True) ->
         padding = "VALID"
     else:
         padding = [(ph, kh - 1 - ph), (pw, kw - 1 - pw)]
-    # conv_general_dilated performs cross-correlation; flip for true convolution.
-    k = jnp.flip(kernel.astype(jnp.float32), (0, 1))
     out = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None], window_strides=(1, 1), padding=padding
+        x[None, None],
+        kernel.astype(jnp.float32)[None, None],
+        window_strides=(1, 1),
+        padding=padding,
     )
     return out[0, 0]
 

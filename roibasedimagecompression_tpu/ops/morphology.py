@@ -53,9 +53,12 @@ def _hit_count(x: jnp.ndarray, se: jnp.ndarray, pad_value: float) -> jnp.ndarray
         ((ph, kh - 1 - ph), (pw, kw - 1 - pw)),
         constant_values=pad_value,
     )
-    k = jnp.flip(se.astype(jnp.float32), (0, 1))
+    # Correlation footprint (cv2 morphology does not mirror the SE).
     out = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None], window_strides=(1, 1), padding="VALID"
+        x[None, None],
+        se.astype(jnp.float32)[None, None],
+        window_strides=(1, 1),
+        padding="VALID",
     )
     return out[0, 0]
 
