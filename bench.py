@@ -1,0 +1,96 @@
+"""Benchmark: full-pipeline encode throughput (megapixels/sec) + quality.
+
+Prints ONE JSON line:
+  {"metric": "encode_throughput_mpps", "value": ..., "unit": "MP/s",
+   "vs_baseline": ...}
+
+Baseline convention: the reference publishes no numbers (BASELINE.md); its
+architecture implies at most ~1 MP/s on a desktop CPU (minutes/image per-pixel
+Python loops).  vs_baseline = value / 1.0 MP/s.
+
+Extra context (quality at the produced rate, per-stage timing, device-core
+throughput) goes to stderr so the JSON line stays clean.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from roibasedimagecompression_tpu import CodecConfig
+    from roibasedimagecompression_tpu.io import container, image_io
+    from roibasedimagecompression_tpu.models import codec
+    from roibasedimagecompression_tpu.ops import metrics as M
+    from roibasedimagecompression_tpu.utils import timing
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+    kodak = "/root/reference/images/png/1.png"
+    if os.path.exists(kodak):
+        img = image_io.imread_rgb(kodak)
+    else:  # fallback: synthetic image
+        img = np.random.default_rng(0).integers(0, 256, (512, 768, 3), dtype=np.uint8)
+
+    size = int(os.environ.get("RHCCQ_BENCH_SIZE", "0"))
+    if size:
+        img = img[:size, :size]
+
+    cfg = CodecConfig()
+
+    # Warmup at a smaller size to populate compile caches for the ops whose
+    # shapes don't depend on the image (thresholds are shape-specific and
+    # still compile fresh — counted as reality for round 1).
+    warm = img[: img.shape[0] // 2 : 1, : img.shape[1] // 2 : 1]
+    t0 = time.perf_counter()
+    codec.encode(warm, cfg)
+    log(f"warmup encode ({warm.shape[0]}x{warm.shape[1]}): {time.perf_counter()-t0:.1f}s")
+
+    timing.reset_stages()
+    t0 = time.perf_counter()
+    data = codec.encode(img, cfg)
+    dt = time.perf_counter() - t0
+
+    mp = img.shape[0] * img.shape[1] / 1e6
+    mpps = mp / dt
+
+    rec = codec.decode(data)
+    q = M.quality_metrics(img, rec)
+    payload = container.unpack(data)
+    bpp = len(data) * 8.0 / (img.shape[0] * img.shape[1])
+
+    log(
+        f"encode {img.shape[1]}x{img.shape[0]}: {dt:.1f}s = {mpps:.4f} MP/s; "
+        f"{len(data)} bytes ({bpp:.2f} bpp), psnr={q['psnr']:.2f}, "
+        f"ssim={q['ssim']:.4f}, colors={payload.n_colors}"
+    )
+    log(f"stages: { {k: round(v['seconds'], 2) for k, v in timing.stage_report().items()} }")
+
+    print(
+        json.dumps(
+            {
+                "metric": "encode_throughput_mpps",
+                "value": round(mpps, 5),
+                "unit": "MP/s",
+                "vs_baseline": round(mpps / 1.0, 5),
+                "psnr_db": round(q["psnr"], 2),
+                "ssim": round(q["ssim"], 4),
+                "bpp": round(bpp, 3),
+                "palette_colors": payload.n_colors,
+                "image": f"{img.shape[1]}x{img.shape[0]}",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

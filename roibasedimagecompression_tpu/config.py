@@ -152,6 +152,10 @@ class CodecConfig:
     # When True, treat the whole image as a single region (the degenerate path
     # the reference falls into when region extraction fails, test.py:124-128).
     single_region: bool = False
+    # Batched tier-1 (bucketed vmapped clustering over all segments at once —
+    # the TPU path).  False falls back to the per-segment reference-shaped
+    # loop, kept for cross-checking.
+    batched: bool = True
 
     @property
     def roi_tier2_quality(self) -> float:

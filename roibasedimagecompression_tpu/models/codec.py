@@ -96,9 +96,130 @@ def subregion_quantization(
     return out
 
 
+def build_segment_map(
+    image_rgb: np.ndarray,
+    roi_regions: list,
+    nonroi_regions: list,
+    config: cfg.CodecConfig,
+):
+    """Rasterize per-region SLIC segments into one global (h, w) id map.
+
+    Returns (seg_map, seg_quality (n+1,), seg_group (n+1,) with 1=roi,
+    2=nonroi).  ROI regions rasterize last so they win buffer-zone overlaps
+    (tier-3 merge order: ROI component first => ROI wins, image.py:246-254).
+    """
+    h, w = image_rgb.shape[:2]
+    seg_map = np.zeros((h, w), np.int32)
+    qualities = [0.0]
+    groups = [0]
+    next_id = 1
+    for region in list(nonroi_regions) + list(roi_regions):
+        minr, minc, maxr, maxc = region.bbox
+        crop = image_rgb[minr:maxr, minc:maxc]
+        mask = region.bbox_mask
+        n_seg = SEG.optimal_segments(crop, mask)
+        labels = SEG.region_segments(
+            crop, mask, n_seg,
+            compactness=config.slic_compactness, sigma=config.slic_sigma,
+        )
+        n_local = int(labels.max())
+        if n_local == 0:
+            continue
+        view = seg_map[minr:maxr, minc:maxc]
+        sel = labels > 0
+        view[sel] = labels[sel] + (next_id - 1)
+        q = config.roi_quality if region.kind == "roi" else config.nonroi_quality
+        g = 1 if region.kind == "roi" else 2
+        qualities.extend([q] * n_local)
+        groups.extend([g] * n_local)
+        next_id += n_local
+    return seg_map, np.asarray(qualities, np.float64), np.asarray(groups, np.int32)
+
+
+def _cluster_color_map(colors_rgb: np.ndarray, sel: np.ndarray, quality: float, seed: int):
+    """Cluster the palette of colors_rgb[sel] (+ pinned black) and map them.
+
+    Returns (mapped_colors (n_sel, 3) uint8) — the tier-2/3 re-cluster applied
+    as a per-pixel color substitution (canvas-merge collapse; see
+    quantize_batched module docstring).
+    """
+    from roibasedimagecompression_tpu.ops import unique as U
+
+    pixels = colors_rgb[sel]
+    palette, idx = U.unique_colors(pixels)
+    if not (palette == 0).all(axis=1).any():
+        # Canvas background black is part of the merged palette
+        # (merging.py:42-44) and feeds the n_colors law.
+        palette = np.vstack([np.zeros((1, 3), np.uint8), palette])
+        idx = idx + 1
+    new_palette, mapping = Q.cluster_palette(palette, quality, seed=seed)
+    return new_palette[mapping[idx]]
+
+
+def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
+    """Batched encode path: device-bucketed tier-1, color-map tiers 2/3."""
+    from roibasedimagecompression_tpu.io import container as C
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+    from roibasedimagecompression_tpu.ops import unique as U
+
+    image_rgb = np.ascontiguousarray(np.asarray(image_rgb, dtype=np.uint8))
+    h, w = image_rgb.shape[:2]
+    min_size = cfg.min_region_size(image_rgb.size)
+
+    with stage_timer("roi"):
+        if config.single_region:
+            roi_regions = [
+                SEG.Region(
+                    bbox=(0, 0, h, w),
+                    bbox_mask=np.ones((h, w), bool),
+                    area=h * w,
+                    kind="roi",
+                )
+            ]
+            nonroi_regions = []
+        else:
+            from roibasedimagecompression_tpu.models import roi as ROI
+
+            roi_mask, nonroi_mask = ROI.roi_masks(image_rgb, config)
+            roi_regions = SEG.extract_regions(roi_mask, "roi")
+            nonroi_regions = SEG.extract_regions(nonroi_mask, "nonroi")
+            roi_regions, nonroi_regions = SEG.reassign_small_roi(
+                roi_regions, nonroi_regions, min_size
+            )
+
+    with stage_timer("segment"):
+        seg_map, seg_quality, seg_group = build_segment_map(
+            image_rgb, roi_regions, nonroi_regions, config
+        )
+
+    with stage_timer("tier1"):
+        t1 = QB.tier1_colors(image_rgb, seg_map, seg_quality, seed=config.seed)
+
+    with stage_timer("tier2"):
+        group_map = seg_group[seg_map]
+        t2 = np.zeros_like(t1)
+        for g, q2 in ((1, config.roi_tier2_quality), (2, config.nonroi_tier2_quality)):
+            sel = group_map == g
+            if sel.any():
+                t2[sel] = _cluster_color_map(t1, sel, q2, config.seed)
+
+    with stage_timer("tier3"):
+        sel = group_map > 0
+        t3 = np.zeros_like(t2)
+        if sel.any():
+            t3[sel] = _cluster_color_map(t2, sel, config.image_quality, config.seed)
+        palette, indices = U.unique_colors(t3.reshape(-1, 3))
+        indices = indices.reshape(h, w)
+
+    with stage_timer("container"):
+        return C.pack(palette, indices)
+
+
 def encode(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -> bytes:
     """Encode an (h, w, 3) uint8 RGB image to .rhccq bytes."""
     config = config or cfg.CodecConfig()
+    if config.batched:
+        return encode_batched(image_rgb, config)
     image_rgb = np.ascontiguousarray(np.asarray(image_rgb, dtype=np.uint8))
     h, w = image_rgb.shape[:2]
     min_size = cfg.min_region_size(image_rgb.size)

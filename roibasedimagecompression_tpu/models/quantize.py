@@ -61,32 +61,6 @@ def from_pixels(patch: np.ndarray, top_left: tuple) -> Component:
     )
 
 
-def _split_oversized(colors: np.ndarray, positions: np.ndarray, max_colors: int, seed: int):
-    """Recursively split one oversized cluster with k-means.
-
-    Returns a list of position-arrays (indices into the palette), each group of
-    size <= max_colors where possible.  Mirrors split_large_cluster
-    (clustering.py:720-775): n_splits = max(2, ceil(n/max)), recurse on still-
-    oversized parts, tiny clusters (<= 2) stay whole.
-    """
-    n = len(positions)
-    if n <= max_colors or n <= 2:
-        return [positions]
-    n_splits = min(max(2, -(-n // max_colors)), n)
-    labels = C.kmeans_host(colors.astype(np.float32), n_splits, seed=seed)
-    out = []
-    for s in range(n_splits):
-        sel = labels == s
-        if not sel.any():
-            continue
-        sub_pos = positions[sel]
-        if len(sub_pos) > max_colors:
-            out.extend(_split_oversized(colors[sel], sub_pos, max_colors, seed))
-        else:
-            out.append(sub_pos)
-    return out
-
-
 def cluster_palette(
     palette: np.ndarray,
     quality: float,
@@ -125,22 +99,33 @@ def cluster_palette(
     else:
         labels = C.eps_components_host(pts, eps)
 
-    # Group cluster members; deterministic order by label id.
-    order = np.argsort(labels, kind="stable")
-    sorted_labels = labels[order]
-    boundaries = np.flatnonzero(
-        np.concatenate([[True], sorted_labels[1:] != sorted_labels[:-1]])
-    )
-    groups = np.split(order, boundaries[1:])
+    # Oversized-cluster splitting via the level-synchronous batched splitter
+    # (shared with the tier-1 path; replaces per-cluster recursive k-means).
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
 
-    for grp in groups:
-        positions = nb_pos[grp]
-        colors = palette[positions]
-        for sub_pos in _split_oversized(colors, positions, max_colors, seed):
-            avg = palette[sub_pos].mean(axis=0).astype(np.uint8)
-            new_idx = len(new_palette)
-            new_palette.append(avg)
-            mapping[sub_pos] = new_idx
+    _, cluster_of_point = np.unique(labels, return_inverse=True)
+    cluster_of_point = cluster_of_point.astype(np.int64)
+    n_clusters = int(cluster_of_point.max()) + 1
+    limits = np.full(len(nb_pos), max_colors, np.int64)
+    cluster_of_point, n_clusters = QB._split_oversized_batched(
+        pts, cluster_of_point, limits, n_clusters, seed
+    )
+
+    # Mean color per final cluster, truncated (clustering.py:305,347);
+    # deterministic order by cluster id.
+    base = len(new_palette)
+    counts = np.bincount(cluster_of_point, minlength=n_clusters).astype(np.float64)
+    sums = np.zeros((n_clusters, 3), np.float64)
+    for c in range(3):
+        sums[:, c] = np.bincount(
+            cluster_of_point, weights=pts[:, c].astype(np.float64), minlength=n_clusters
+        )
+    present = np.flatnonzero(counts > 0)
+    compact = np.full(n_clusters, -1, np.int64)
+    compact[present] = np.arange(len(present))
+    means = (sums[present] / counts[present, None]).astype(np.uint8)
+    new_palette.extend(means)
+    mapping[nb_pos] = base + compact[cluster_of_point]
 
     return np.asarray(new_palette, dtype=np.uint8), mapping
 

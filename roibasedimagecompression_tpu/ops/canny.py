@@ -110,8 +110,13 @@ def gradient_and_nms(image: jnp.ndarray):
     return mag, nms
 
 
-def hysteresis(mag: jnp.ndarray, nms: jnp.ndarray, low, high) -> jnp.ndarray:
-    """Edges = NMS survivors above `low` 8-connected to one above `high`."""
+def hysteresis_labeled(mag: jnp.ndarray, nms: jnp.ndarray, low, high):
+    """Hysteresis + component bookkeeping in one pass.
+
+    The final edge set is a union of whole weak-graph components, so the
+    components of the output ARE the kept weak components — no second CC pass
+    is needed for scoring.  Returns (edges, n_components, n_edge_pixels).
+    """
     weak = nms & (mag > low)
     strong = nms & (mag > high)
     labels = CC.propagate_labels(weak, connectivity=8)
@@ -120,7 +125,15 @@ def hysteresis(mag: jnp.ndarray, nms: jnp.ndarray, low, high) -> jnp.ndarray:
     strong_any = jax.ops.segment_max(
         strong.reshape(-1).astype(jnp.int32), flat, num_segments=h * w + 1
     )
-    return weak & (strong_any[flat].reshape(h, w) > 0)
+    edges = weak & (strong_any[flat].reshape(h, w) > 0)
+    # Each kept component contributes exactly one bucket (its min-index label).
+    n_comp = jnp.sum(strong_any[: h * w] > 0)
+    return edges, n_comp, jnp.sum(edges)
+
+
+def hysteresis(mag: jnp.ndarray, nms: jnp.ndarray, low, high) -> jnp.ndarray:
+    """Edges = NMS survivors above `low` 8-connected to one above `high`."""
+    return hysteresis_labeled(mag, nms, low, high)[0]
 
 
 @jax.jit
@@ -191,18 +204,9 @@ def edge_quality_scores(gray_u8: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.nd
     """
     mag, nms = gradient_and_nms(gray_u8)
     grayf = gray_u8.astype(jnp.float32)
-    h, w = grayf.shape
 
     def score_one(pair):
-        low, high = pair[0], pair[1]
-        edges = hysteresis(mag, nms, low, high)
-        labels = CC.propagate_labels(edges, connectivity=8)
-        flat = jnp.where(edges, labels, h * w).reshape(-1)
-        present = jax.ops.segment_max(
-            edges.reshape(-1).astype(jnp.int32), flat, num_segments=h * w + 1
-        )[: h * w]
-        n_comp = jnp.sum(present)
-        n_edge = jnp.sum(edges)
+        edges, n_comp, n_edge = hysteresis_labeled(mag, nms, pair[0], pair[1])
         avg_size = n_edge.astype(jnp.float32) / jnp.maximum(n_comp, 1).astype(jnp.float32)
         contrast = H.masked_std(grayf, edges)
         return jnp.where(n_comp > 0, avg_size * contrast, -jnp.inf)

@@ -1,0 +1,115 @@
+"""End-to-end codec tests: round-trips, quality laws, path equivalence."""
+
+import numpy as np
+import pytest
+
+import roibasedimagecompression_tpu as rtc
+from roibasedimagecompression_tpu.io import container, image_io
+from roibasedimagecompression_tpu.models import codec
+from roibasedimagecompression_tpu.ops import metrics as M
+
+
+@pytest.fixture(scope="module")
+def lenna128():
+    return image_io.imread_rgb("/root/reference/images/png/Lenna.png")[::4, ::4]
+
+
+def test_encode_decode_roundtrip(lenna128):
+    data = rtc.encode(lenna128, rtc.CodecConfig(single_region=True))
+    rec = rtc.decode(data)
+    assert rec.shape == lenna128.shape
+    q = M.quality_metrics(lenna128, rec)
+    assert q["psnr"] > 28.0  # preset 20/10 regime
+    payload = container.unpack(data)
+    assert payload.n_colors < 600
+
+
+def test_full_mode_encode(lenna128):
+    data = rtc.encode(lenna128)
+    rec = rtc.decode(data)
+    q = M.quality_metrics(lenna128, rec)
+    assert q["psnr"] > 27.0
+    assert len(data) * 8 / lenna128.size * 3 < 8.0  # sane bpp
+
+
+def test_batched_matches_loop_path_quality(lenna128):
+    """The batched tier-1 and the reference-shaped per-segment loop must land
+    in the same rate-distortion neighbourhood (same laws, different k-means
+    tie-breaking)."""
+    img = lenna128[:96, :96]
+    a = rtc.encode(img, rtc.CodecConfig(single_region=True, batched=True))
+    b = rtc.encode(img, rtc.CodecConfig(single_region=True, batched=False))
+    qa = M.quality_metrics(img, rtc.decode(a))
+    qb = M.quality_metrics(img, rtc.decode(b))
+    assert abs(qa["psnr"] - qb["psnr"]) < 2.0
+    assert abs(len(a) - len(b)) / max(len(a), len(b)) < 0.35
+
+
+def test_quality_knob_monotone(lenna128):
+    """Higher quality preset => higher PSNR and (weakly) larger files."""
+    img = lenna128[:96, :96]
+    lo = rtc.encode(img, rtc.CodecConfig(single_region=True, roi_quality=10, nonroi_quality=5))
+    hi = rtc.encode(img, rtc.CodecConfig(single_region=True, roi_quality=45, nonroi_quality=30))
+    q_lo = M.quality_metrics(img, rtc.decode(lo))
+    q_hi = M.quality_metrics(img, rtc.decode(hi))
+    assert q_hi["psnr"] > q_lo["psnr"]
+
+
+def test_encoded_file_decodable_by_reference_format(lenna128, tmp_path):
+    """Our writer must produce files the reference reader logic accepts:
+    magic + zlib(pickle(dict with s/l/p/i/d))."""
+    import pickle
+    import struct
+    import zlib
+
+    data = rtc.encode(lenna128, rtc.CodecConfig(single_region=True))
+    assert data[:5] == b"RHCCQ"
+    (size,) = struct.unpack("<I", data[5:9])
+    payload = pickle.loads(zlib.decompress(data[9 : 9 + size]))
+    assert set(payload.keys()) == {"s", "l", "p", "i", "d"}
+    palette = np.frombuffer(zlib.decompress(payload["p"]), np.uint8).reshape(-1, 3)
+    assert len(palette) == payload["l"]
+    h, w = payload["s"]
+    idx = np.frombuffer(zlib.decompress(payload["i"]), payload["d"]).reshape(h, w)
+    rgb = palette[idx]
+    np.testing.assert_array_equal(rgb, rtc.decode(data))
+
+
+def test_black_repair():
+    """Black pixels inside a segment take the darkest non-black color."""
+    px = np.array([[0, 0, 0], [10, 20, 30], [200, 10, 10]], np.uint8)
+    out = codec._black_repair(px.copy())
+    assert tuple(out[0]) == (10, 20, 30)
+    assert tuple(out[1]) == (10, 20, 30)
+
+
+def test_tier1_colors_segment_isolation():
+    """Colors never leak across segment boundaries in batched tier-1."""
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :4] = [200, 0, 0]
+    img[:, 4:] = [0, 200, 0]
+    seg = np.ones((8, 8), np.int32)
+    seg[:, 4:] = 2
+    qual = np.array([0.0, 50.0, 50.0])
+    out = QB.tier1_colors(img, seg, qual)
+    assert (out[:, :4] == [200, 0, 0]).all()
+    assert (out[:, 4:] == [0, 200, 0]).all()
+
+
+def test_tier1_respects_max_colors_law():
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+    from roibasedimagecompression_tpu.config import clustering_params
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(100, 140, (32, 32, 3)).astype(np.uint8)
+    seg = np.ones((32, 32), np.int32)
+    qual = np.array([0.0, 20.0])
+    out = QB.tier1_colors(img, seg, qual)
+    n_in = len(np.unique(img.reshape(-1, 3), axis=0))
+    n_out = len(np.unique(out.reshape(-1, 3), axis=0))
+    # One tight blob -> split law: ~n/max_colors clusters, far fewer than input.
+    params = clustering_params(n_in + 1, 20.0)
+    assert n_out <= max(-(-n_in // params.max_colors_per_cluster) * 3, 30)
+    assert n_out < n_in
