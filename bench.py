@@ -27,6 +27,16 @@ def log(msg):
 def main():
     import jax
 
+    # Persist compiled executables across bench runs (compiles through the
+    # remote-compile tunnel cost ~25 s per conv graph).
+    cache_dir = os.environ.get("RHCCQ_JAX_CACHE", "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # cache flags vary across jax versions
+        log(f"compilation cache unavailable: {e}")
+
     from roibasedimagecompression_tpu import CodecConfig
     from roibasedimagecompression_tpu.io import container, image_io
     from roibasedimagecompression_tpu.models import codec
@@ -35,25 +45,28 @@ def main():
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
-    kodak = "/root/reference/images/png/1.png"
-    if os.path.exists(kodak):
-        img = image_io.imread_rgb(kodak)
-    else:  # fallback: synthetic image
-        img = np.random.default_rng(0).integers(0, 256, (512, 768, 3), dtype=np.uint8)
+    # Two same-shape Kodak images: the first run pays shape-specific compiles,
+    # the second measures warm throughput (the deployment regime — a stream of
+    # equal-shape images, BASELINE.json config 5).
+    paths = ["/root/reference/images/png/1.png", "/root/reference/images/png/2.png"]
+    if all(os.path.exists(p) for p in paths):
+        warm_img, img = (image_io.imread_rgb(p) for p in paths)
+    else:
+        rng = np.random.default_rng(0)
+        warm_img = rng.integers(0, 256, (512, 768, 3), dtype=np.uint8)
+        img = rng.integers(0, 256, (512, 768, 3), dtype=np.uint8)
 
     size = int(os.environ.get("RHCCQ_BENCH_SIZE", "0"))
     if size:
+        warm_img = warm_img[:size, :size]
         img = img[:size, :size]
 
     cfg = CodecConfig()
 
-    # Warmup at a smaller size to populate compile caches for the ops whose
-    # shapes don't depend on the image (thresholds are shape-specific and
-    # still compile fresh — counted as reality for round 1).
-    warm = img[: img.shape[0] // 2 : 1, : img.shape[1] // 2 : 1]
     t0 = time.perf_counter()
-    codec.encode(warm, cfg)
-    log(f"warmup encode ({warm.shape[0]}x{warm.shape[1]}): {time.perf_counter()-t0:.1f}s")
+    codec.encode(warm_img, cfg)
+    cold = time.perf_counter() - t0
+    log(f"cold encode ({warm_img.shape[1]}x{warm_img.shape[0]}): {cold:.1f}s")
 
     timing.reset_stages()
     t0 = time.perf_counter()

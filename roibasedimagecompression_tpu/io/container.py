@@ -91,7 +91,7 @@ class Rhccq:
         return self.palette[self.indices]
 
 
-def pack(palette: np.ndarray, indices: np.ndarray, shape=None) -> bytes:
+def pack(palette: np.ndarray, indices: np.ndarray, shape=None, *, use_rle: bool = False) -> bytes:
     """Serialize palette + indices to .rhccq bytes (reference-compatible).
 
     Matches lossless_compress_optimized + save_compressed byte-for-byte given
@@ -110,13 +110,29 @@ def pack(palette: np.ndarray, indices: np.ndarray, shape=None) -> bytes:
     if max_index >= palette.shape[0]:
         raise ValueError(f"index {max_index} out of range for palette of {palette.shape[0]}")
     dtype = min_index_dtype(max_index)
-    payload = {
-        "s": (h, w),
-        "l": int(palette.shape[0]),
-        "p": zlib.compress(palette.tobytes(), 9),
-        "i": zlib.compress(np.ascontiguousarray(flat.astype(dtype)).tobytes(), 9),
-        "d": dtype.name,
-    }
+    if use_rle:
+        # RLE(value, run u16 pairs) + zlib — the reference's alternative
+        # entropy mode (compression.py:25-66).  Marked with 'm' so unpack can
+        # dispatch; reference files never carry this key.
+        from roibasedimagecompression_tpu import native
+
+        pairs = native.rle_encode(flat.astype(np.uint16))
+        payload = {
+            "s": (h, w),
+            "l": int(palette.shape[0]),
+            "p": zlib.compress(palette.tobytes(), 9),
+            "i": zlib.compress(np.ascontiguousarray(pairs).tobytes(), 9),
+            "d": "uint16",
+            "m": "rle",
+        }
+    else:
+        payload = {
+            "s": (h, w),
+            "l": int(palette.shape[0]),
+            "p": zlib.compress(palette.tobytes(), 9),
+            "i": zlib.compress(np.ascontiguousarray(flat.astype(dtype)).tobytes(), 9),
+            "d": dtype.name,
+        }
     blob = zlib.compress(pickle.dumps(payload, protocol=5), 9)
     return MAGIC + struct.pack("<I", len(blob)) + blob
 
@@ -134,6 +150,12 @@ def unpack(data: bytes) -> Rhccq:
     palette = np.frombuffer(zlib.decompress(payload["p"]), dtype=np.uint8)
     palette = palette.reshape(n_colors, 3).copy()
     raw = zlib.decompress(payload["i"])
+    if payload.get("m") == "rle":
+        from roibasedimagecompression_tpu import native
+
+        pairs = np.frombuffer(raw, dtype=np.uint16).reshape(-1, 2)
+        indices = native.rle_decode(pairs, h * w).reshape(h, w)
+        return Rhccq(palette=palette, indices=indices, shape=(int(h), int(w)))
     dtype_name = payload.get("d")
     if dtype_name in _DTYPES:
         dtype = _DTYPES[dtype_name]
@@ -147,9 +169,9 @@ def unpack(data: bytes) -> Rhccq:
     return Rhccq(palette=palette, indices=indices, shape=(int(h), int(w)))
 
 
-def save(palette: np.ndarray, indices: np.ndarray, path, shape=None) -> int:
+def save(palette: np.ndarray, indices: np.ndarray, path, shape=None, *, use_rle: bool = False) -> int:
     """Write an .rhccq file; returns total file size in bytes."""
-    data = pack(palette, indices, shape)
+    data = pack(palette, indices, shape, use_rle=use_rle)
     with open(path, "wb") as f:
         f.write(data)
     return len(data)

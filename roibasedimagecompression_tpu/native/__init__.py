@@ -1,0 +1,136 @@
+"""ctypes bindings for the native host runtime (rhccq_native.cpp).
+
+Compiled lazily with g++ on first use and cached next to the source; every
+entry point has a NumPy fallback so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "rhccq_native.cpp")
+_LIB_PATH = os.path.join(_HERE, "librhccq_native.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        _SRC, "-o", _LIB_PATH,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded shared library, or None when unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(
+            _LIB_PATH
+        ) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.rle_encode_u16.restype = ctypes.c_int64
+        lib.rle_encode_u16.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.rle_decode_u16.restype = ctypes.c_int64
+        lib.rle_decode_u16.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.cc_label.restype = ctypes.c_int32
+        lib.cc_label.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.cc_label_means.restype = None
+        lib.cc_label_means.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_void_p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def rle_encode(indices: np.ndarray) -> np.ndarray:
+    """(n,) uint16 -> (pairs, 2) uint16 [(value, run)] with runs <= 65535."""
+    flat = np.ascontiguousarray(indices, dtype=np.uint16).reshape(-1)
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty((flat.size or 1, 2), np.uint16)
+        n_pairs = lib.rle_encode_u16(
+            flat.ctypes.data, flat.size, out.ctypes.data
+        )
+        return out[:n_pairs].copy()
+    # NumPy fallback: split runs at value changes and at the 65535 cap.
+    if flat.size == 0:
+        return np.empty((0, 2), np.uint16)
+    change = np.flatnonzero(np.diff(flat)) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [flat.size]])
+    values, runs = [], []
+    for s, e in zip(starts, ends):
+        run = e - s
+        while run > 65535:
+            values.append(flat[s])
+            runs.append(65535)
+            run -= 65535
+        values.append(flat[s])
+        runs.append(run)
+    return np.stack([np.asarray(values, np.uint16), np.asarray(runs, np.uint16)], 1)
+
+
+def rle_decode(pairs: np.ndarray, total: int) -> np.ndarray:
+    """(pairs, 2) uint16 -> (total,) uint16."""
+    pairs = np.ascontiguousarray(pairs, dtype=np.uint16).reshape(-1, 2)
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(total, np.uint16)
+        n = lib.rle_decode_u16(
+            pairs.ctypes.data, pairs.shape[0], out.ctypes.data, total
+        )
+        if n < 0:
+            raise ValueError("RLE stream longer than declared size")
+        return out[:n].copy()
+    return np.repeat(pairs[:, 0], pairs[:, 1])[:total]
+
+
+def cc_label(mask: np.ndarray, connectivity: int = 8):
+    """Union-find CCL: (labels int32 0=bg/1..n, num_fg_labels, stats or None).
+
+    stats: (n, 5) int64 [area, minr, minc, maxr_excl, maxc_excl].
+    """
+    m = np.ascontiguousarray(mask != 0, dtype=np.uint8)
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = m.shape
+    labels = np.empty((h, w), np.int32)
+    stats = np.empty((max(h * w // 2 + 1, 1), 5), np.int64)
+    n = lib.cc_label(
+        m.ctypes.data, h, w, connectivity, labels.ctypes.data, stats.ctypes.data
+    )
+    return labels, int(n), stats[:n].copy()

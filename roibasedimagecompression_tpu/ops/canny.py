@@ -214,6 +214,68 @@ def edge_quality_scores(gray_u8: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.nd
     return jax.vmap(score_one)(thresholds)
 
 
+@functools.partial(jax.jit, static_argnames=("method",))
+def fast_thresholds(gray_u8: jnp.ndarray, method: str = "percentile_fast"):
+    """One-shot threshold estimation (compute_fast_canny_thresholds,
+    edges.py:245-299) — no Canny sweep."""
+    g = gray_u8.astype(jnp.float32)
+
+    def percentile_fast():
+        low_val = H.masked_percentile(g, jnp.ones_like(g, jnp.bool_), 25.0)
+        high_val = H.masked_percentile(g, jnp.ones_like(g, jnp.bool_), 75.0)
+        low = jnp.clip(jnp.floor(low_val * 0.7), 10.0, 100.0)
+        high = jnp.clip(jnp.floor(high_val * 1.3), 50.0, 200.0)
+        high = jnp.where(high < low * 2.0, jnp.minimum(low * 2.0, 255.0), high)
+        return low, high
+
+    def gradient_fast():
+        gx, gy = CONV.sobel_cv2(g)
+        mag = jnp.abs(gx) + jnp.abs(gy)
+        nz = mag > 0
+        n = jnp.sum(nz)
+        low = jnp.floor(H.masked_percentile(mag, nz, 10.0))
+        high = jnp.floor(H.masked_percentile(mag, nz, 90.0))
+        low = jnp.where(n > 100, low, 50.0)
+        high = jnp.where(n > 100, high, 150.0)
+        return low, high
+
+    if method == "percentile_fast":
+        low, high = percentile_fast()
+    elif method == "gradient_fast":
+        low, high = gradient_fast()
+    else:  # hybrid_fast
+        l1, h1 = percentile_fast()
+        l2, h2 = gradient_fast()
+        low, high = jnp.floor((l1 + l2) / 2.0), jnp.floor((h1 + h2) / 2.0)
+    low = jnp.clip(low, 10.0, 100.0)
+    high = jnp.maximum(low * 2.0, jnp.minimum(high, 200.0))
+    return low, high
+
+
+def get_edge_map_fast(image_rgb: np.ndarray):
+    """Single-Canny fast path (get_edge_map_fast, edges.py:210-243): blend the
+    percentile thresholds with 10th/90th gradient percentiles, run Canny once
+    on the grayscale image."""
+    rgb = jnp.asarray(image_rgb)
+    gray = COL.rgb_to_gray_cv2(rgb)
+
+    @jax.jit
+    def fused(gray):
+        low, high = fast_thresholds(gray, "percentile_fast")
+        gx, gy = CONV.sobel_cv2(gray.astype(jnp.float32))
+        mag = jnp.sqrt(gx * gx + gy * gy)
+        nz = mag > 0
+        glow = H.masked_percentile(mag, nz, 10.0)
+        ghigh = H.masked_percentile(mag, nz, 90.0)
+        low = jnp.floor((low + glow) / 2.0)
+        high = jnp.floor((high + ghigh) / 2.0)
+        m, nms = gradient_and_nms(gray)
+        return hysteresis(m, nms, low, high), low, high
+
+    edges, low, high = fused(gray)
+    return np.asarray(edges), (float(low), float(high))
+
+
 def get_edge_map(image_rgb: np.ndarray):
     """Adaptive Canny (get_edge_map, edges.py:35-38): pick the best-scoring
     (low, high) on the grayscale image, then run Canny on the RGB image.

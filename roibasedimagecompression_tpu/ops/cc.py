@@ -162,12 +162,25 @@ def adopt_labels(
     return jnp.where(fg & (out != _INT_MAX), out, jnp.where(fg, labels, out))
 
 
-def connected_components(mask: np.ndarray, connectivity: int = 8):
+def connected_components(mask: np.ndarray, connectivity: int = 8, prefer_native: bool = True):
     """cv2.connectedComponents analogue: (labels (h, w) int32 with 0 =
-    background and 1..num compact ids, num_labels incl. background)."""
+    background and 1..num compact ids, num_labels incl. background).
+
+    Host orchestration path: prefers the native union-find library (one C++
+    pass, no device round-trip — the latency-critical choice when the chip is
+    reached over a tunnel); falls back to the device propagation kernel.
+    Inside jitted pipelines use propagate_labels directly.
+    """
     mask = np.asarray(mask) != 0
     if not mask.any():
         return np.zeros(mask.shape, np.int32), 1
+    if prefer_native:
+        from roibasedimagecompression_tpu import native
+
+        out = native.cc_label(mask, connectivity)
+        if out is not None:
+            labels, n, _ = out
+            return labels, n + 1
     raw = np.asarray(propagate_labels(jnp.asarray(mask), connectivity))
     fg = mask
     vals = raw[fg]

@@ -57,6 +57,27 @@ def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([L, a, b], axis=-1)
 
 
+def rgb_to_lab_cv2(rgb: jnp.ndarray) -> jnp.ndarray:
+    """cv2.cvtColor(..., COLOR_RGB2LAB) for uint8: 8-bit scaled CIELAB.
+
+    L mapped to 0..255 (L * 255/100), a/b offset by +128.  The CLAHE shadow
+    enhancer thresholds this scaled L (enhancer/clahe.py:21-22).
+    """
+    lab = rgb_to_lab(rgb)
+    L = lab[..., 0] * (255.0 / 100.0)
+    a = lab[..., 1] + 128.0
+    b = lab[..., 2] + 128.0
+    return jnp.clip(jnp.round(jnp.stack([L, a, b], axis=-1)), 0, 255).astype(jnp.uint8)
+
+
+def lab_cv2_to_rgb(lab_u8: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of rgb_to_lab_cv2."""
+    L = lab_u8[..., 0].astype(jnp.float32) * (100.0 / 255.0)
+    a = lab_u8[..., 1].astype(jnp.float32) - 128.0
+    b = lab_u8[..., 2].astype(jnp.float32) - 128.0
+    return lab_to_rgb(jnp.stack([L, a, b], axis=-1))
+
+
 def lab_to_rgb(lab: jnp.ndarray) -> jnp.ndarray:
     """Inverse of rgb_to_lab -> uint8 RGB (used by the CLAHE enhancer)."""
     L, a, b = lab[..., 0], lab[..., 1], lab[..., 2]

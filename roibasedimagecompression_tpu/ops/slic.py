@@ -90,6 +90,13 @@ def _slic_assign(
     return jnp.where(valid, assign, -1).reshape(h, w)
 
 
+def _pow2(n: int, minimum: int = 32) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 def slic(
     image_rgb: np.ndarray,
     mask: np.ndarray,
@@ -101,8 +108,24 @@ def slic(
     min_size_factor: float = 0.5,
 ) -> np.ndarray:
     """Masked SLIC: (h, w, 3) uint8 + (h, w) bool -> (h, w) int32 labels
-    (0 = outside mask, 1..n inside)."""
+    (0 = outside mask, 1..n inside).
+
+    Shapes are padded to power-of-two buckets (mask-padded, centers padded
+    with unreachable sentinels) so the assignment kernel compiles once per
+    bucket instead of once per region geometry.
+    """
     mask = np.asarray(mask, bool)
+    h0, w0 = mask.shape
+    ph, pw = _pow2(h0), _pow2(w0)
+    if (ph, pw) != (h0, w0):
+        img_p = np.zeros((ph, pw, 3), np.uint8)
+        img_p[:h0, :w0] = image_rgb
+        mask_p = np.zeros((ph, pw), bool)
+        mask_p[:h0, :w0] = mask
+        return slic(
+            img_p, mask_p, n_segments, compactness, sigma, iters,
+            enforce_connectivity, min_size_factor,
+        )[:h0, :w0]
     h, w = mask.shape
     area = int(mask.sum())
     if area == 0:
@@ -145,13 +168,20 @@ def slic(
         axis=1,
     ).astype(np.float32)
 
+    # Pad the center count to a power of two with unreachable sentinels so the
+    # assignment kernel compiles per bucket, not per center count.
+    n_pad = _pow2(n_centers, minimum=4)
+    if n_pad != n_centers:
+        sentinels = np.full((n_pad - n_centers, 5), 1e6, np.float32)
+        init_centers = np.vstack([init_centers, sentinels])
+
     assign = _slic_assign(
         lab,
         jnp.asarray(mask),
         jnp.asarray(init_centers),
         jnp.float32(step),
         float(compactness),
-        n_centers,
+        n_pad,
         iters,
     )
     labels = np.asarray(assign)
