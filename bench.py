@@ -27,15 +27,8 @@ def log(msg):
 def main():
     import jax
 
-    # Persist compiled executables across bench runs (compiles through the
-    # remote-compile tunnel cost ~25 s per conv graph).
-    cache_dir = os.environ.get("RHCCQ_JAX_CACHE", "/root/repo/.jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception as e:  # cache flags vary across jax versions
-        log(f"compilation cache unavailable: {e}")
+    # The persistent compilation cache is enabled by the package import
+    # (see roibasedimagecompression_tpu._enable_compilation_cache).
 
     from roibasedimagecompression_tpu import CodecConfig
     from roibasedimagecompression_tpu.io import container, image_io

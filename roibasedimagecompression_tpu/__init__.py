@@ -11,6 +11,46 @@ Public API:
     CodecConfig            -> quality preset + pipeline knobs
 """
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA executables across processes (opt out: RHCCQ_JAX_CACHE=0).
+
+    Compiles through this environment's remote-compile tunnel cost minutes per
+    graph; the on-disk cache makes them one-time.
+    """
+    target = _os.environ.get("RHCCQ_JAX_CACHE")
+    if target == "0":
+        return
+    if not target:
+        # Development checkout: keep the cache beside the repo so every
+        # process (tests, CLI, bench, driver hooks) shares it.
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        if _os.path.exists(_os.path.join(repo, "pyproject.toml")):
+            target = _os.path.join(repo, ".jax_cache")
+        else:
+            target = _os.path.join(_os.path.expanduser("~"), ".cache", "rhccq_jax")
+    try:
+        import jax
+
+        _os.makedirs(target, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", target)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.4)
+    except Exception:
+        pass  # cache flags vary across jax versions; never block import
+
+
+_enable_compilation_cache()
+
+if _os.environ.get("RHCCQ_FORCE_CPU") == "1":
+    # Env-var platform selection can be overridden by site hooks that
+    # pre-register an accelerator plugin; config.update always wins.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from roibasedimagecompression_tpu.config import (
     CodecConfig,
     RoiConfig,

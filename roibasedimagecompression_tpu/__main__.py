@@ -1,0 +1,145 @@
+"""Command-line interface: encode / decode / eval / compare.
+
+The reference's entry points are __main__ demo scripts (encoder/compression/
+test.py, decoder/uncompression/test.py, whole_comparison.py, other/
+comparison.py); this CLI is their consolidated equivalent:
+
+    python -m roibasedimagecompression_tpu encode IN.png OUT.rhccq [--roi-quality 20]
+    python -m roibasedimagecompression_tpu decode IN.rhccq OUT.png
+    python -m roibasedimagecompression_tpu eval ORIG.png FILE.rhccq [--adaptive]
+    python -m roibasedimagecompression_tpu sweep IMAGES_ROOT [--csv out.csv]
+    python -m roibasedimagecompression_tpu compare ORIG.png FILE.rhccq [--html out.html]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cmd_encode(args):
+    import numpy as np
+
+    from roibasedimagecompression_tpu import CodecConfig, encode
+    from roibasedimagecompression_tpu.io import image_io
+    from roibasedimagecompression_tpu.models.enhance import enhance_shadows
+
+    img = image_io.imread_rgb(args.input)
+    if args.enhance_shadows:
+        img = enhance_shadows(img)
+    cfg = CodecConfig(
+        roi_quality=args.roi_quality,
+        nonroi_quality=args.nonroi_quality,
+        single_region=args.single_region,
+    )
+    t0 = time.perf_counter()
+    data = encode(np.asarray(img), cfg)
+    dt = time.perf_counter() - t0
+    with open(args.output, "wb") as f:
+        f.write(data)
+    pixels = img.shape[0] * img.shape[1]
+    raw = pixels * 3
+    print(
+        f"{args.output}: {len(data):,} bytes "
+        f"({raw / len(data):.2f}:1, {len(data) * 8 / pixels:.2f} bpp) "
+        f"in {dt:.1f}s ({pixels / 1e6 / dt:.3f} MP/s)"
+    )
+
+
+def _cmd_decode(args):
+    from roibasedimagecompression_tpu import decode
+    from roibasedimagecompression_tpu.io import image_io
+
+    rgb = decode(args.input)
+    image_io.imwrite(args.output, rgb)
+    print(f"{args.output}: {rgb.shape[1]}x{rgb.shape[0]}")
+
+
+def _cmd_eval(args):
+    from roibasedimagecompression_tpu.eval import harness
+
+    res = harness.evaluate_pair(args.original, args.compressed)
+    out = res.as_dict()
+    if args.adaptive:
+        from roibasedimagecompression_tpu.eval.adaptive import adaptive_quality_metrics
+        from roibasedimagecompression_tpu.io import container, image_io
+
+        out["adaptive"] = adaptive_quality_metrics(
+            image_io.imread_rgb(args.original),
+            container.decode_file(args.compressed),
+        )
+    print(json.dumps(out, indent=2, default=float))
+
+
+def _cmd_sweep(args):
+    from roibasedimagecompression_tpu.eval import report
+
+    result = report.run_batch_evaluation(
+        args.images_root, csv_path=args.csv, plot_path=args.plot
+    )
+    print(report.format_summary_report(result["summary"]))
+
+
+def _cmd_compare(args):
+    import os
+    import tempfile
+
+    from roibasedimagecompression_tpu.eval import report
+
+    jpg = args.jpeg
+    if jpg is None:
+        jpg = os.path.join(tempfile.mkdtemp(), "baseline.jpg")
+        report.compress_with_jpeg(args.original, jpg, quality=args.jpeg_quality)
+    row = report.three_way_comparison(args.original, jpg, args.compressed)
+    print(json.dumps(row, indent=2, default=float))
+    if args.html:
+        report.html_report([row], args.html)
+        print(f"wrote {args.html}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="roibasedimagecompression_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("encode", help="PNG/JPEG -> .rhccq")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--roi-quality", type=float, default=20.0)
+    p.add_argument("--nonroi-quality", type=float, default=10.0)
+    p.add_argument("--single-region", action="store_true")
+    p.add_argument("--enhance-shadows", action="store_true")
+    p.set_defaults(fn=_cmd_encode)
+
+    p = sub.add_parser("decode", help=".rhccq -> image file")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(fn=_cmd_decode)
+
+    p = sub.add_parser("eval", help="quality metrics for one pair")
+    p.add_argument("original")
+    p.add_argument("compressed")
+    p.add_argument("--adaptive", action="store_true")
+    p.set_defaults(fn=_cmd_eval)
+
+    p = sub.add_parser("sweep", help="batch Kodak evaluation")
+    p.add_argument("images_root")
+    p.add_argument("--csv")
+    p.add_argument("--plot")
+    p.set_defaults(fn=_cmd_sweep)
+
+    p = sub.add_parser("compare", help="3-way PNG vs JPEG vs RHCCQ")
+    p.add_argument("original")
+    p.add_argument("compressed")
+    p.add_argument("--jpeg")
+    p.add_argument("--jpeg-quality", type=int, default=85)
+    p.add_argument("--html")
+    p.set_defaults(fn=_cmd_compare)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
