@@ -178,7 +178,7 @@ def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
             ]
             nonroi_regions = []
         else:
-            from roibasedimagecompression_tpu.models import roi as ROI
+            from roibasedimagecompression_tpu.models import roi_fused as ROI
 
             roi_mask, nonroi_mask = ROI.roi_masks(image_rgb, config)
             roi_regions = SEG.extract_regions(roi_mask, "roi")

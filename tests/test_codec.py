@@ -113,3 +113,17 @@ def test_tier1_respects_max_colors_law():
     params = clustering_params(n_in + 1, 20.0)
     assert n_out <= max(-(-n_in // params.max_colors_per_cluster) * 3, 30)
     assert n_out < n_in
+
+
+def test_fused_roi_matches_modular(lenna128):
+    """The single-graph ROI pipeline must reproduce the stage-by-stage host
+    version exactly."""
+    import roibasedimagecompression_tpu as rtc
+    from roibasedimagecompression_tpu.models import roi as ROI
+    from roibasedimagecompression_tpu.models import roi_fused as RF
+
+    cfg_ = rtc.CodecConfig()
+    a_roi, a_non = ROI.roi_masks(lenna128, cfg_)
+    b_roi, b_non = RF.roi_masks(lenna128, cfg_)
+    np.testing.assert_array_equal(a_roi, b_roi)
+    np.testing.assert_array_equal(a_non, b_non)
