@@ -135,11 +135,19 @@ def _bucketize(sizes: np.ndarray, caps) -> dict:
 
 
 def _pad_batch(b: int) -> int:
-    """Round the problem count up to a power of two so the vmapped kernels
+    """Round the problem count up to a power of FOUR so the vmapped kernels
     compile once per (batch_bucket, size_bucket) instead of once per image."""
     p = 1
     while p < b:
-        p *= 2
+        p *= 4
+    return p
+
+
+def _pad_kmax(k: int) -> int:
+    """Quantize k_max to powers of four — bounds the distinct kernel shapes."""
+    p = 2
+    while p < k:
+        p *= 4
     return p
 
 
@@ -284,9 +292,7 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
                 s, m = starts[cid], sizes[cid]
                 pts[r, :m] = colors[order[s : s + m]]
                 valid[r, :m] = True
-            k_max = 2
-            while k_max < ks[rows].max():
-                k_max *= 2
+            k_max = _pad_kmax(int(ks[rows].max()))
             ks_b = np.ones(b, np.int32)
             ks_b[: len(ids)] = ks[rows]
             labels = np.asarray(

@@ -152,14 +152,27 @@ def optimal_segments(bbox_rgb: np.ndarray, bbox_mask: np.ndarray) -> int:
 
 
 def _resize_uint8(img: np.ndarray, shape: tuple) -> np.ndarray:
-    out = jax.image.resize(
-        jnp.asarray(img, jnp.float32), (*shape, img.shape[2]), method="linear", antialias=True
+    """Antialiased downscale on host (PIL).
+
+    Host by choice: region geometries are unbounded, so device resizes would
+    compile one graph per (in, out) shape pair; the resize itself is a few
+    hundred kB of pixel work.
+    """
+    from PIL import Image
+
+    return np.asarray(
+        Image.fromarray(img).resize((shape[1], shape[0]), Image.BILINEAR),
+        dtype=np.uint8,
     )
-    return np.asarray(jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8))
 
 
 def _resize_nearest(arr: np.ndarray, shape: tuple) -> np.ndarray:
-    return np.asarray(jax.image.resize(jnp.asarray(arr), shape, method="nearest"))
+    """Nearest-neighbor resize via index maps (half-pixel centers)."""
+    h, w = arr.shape[:2]
+    nh, nw = shape
+    rows = np.minimum(((np.arange(nh) + 0.5) * h / nh).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(nw) + 0.5) * w / nw).astype(np.int64), w - 1)
+    return arr[rows][:, cols]
 
 
 def region_segments(

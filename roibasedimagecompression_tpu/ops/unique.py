@@ -62,14 +62,29 @@ def unique_colors(pixels: np.ndarray):
 
     Returns (palette (m, 3) uint8 sorted by packed value, indices (n,) int32).
     Matches np.unique(pixels, axis=0) ordering (lexicographic R, G, B).
+
+    The device call is padded to a power-of-two length by repeating the first
+    pixel (adds no new colors), so the kernel compiles once per size bucket
+    rather than once per pixel count.
     """
     pixels = np.asarray(pixels, dtype=np.uint8).reshape(-1, 3)
-    packed = jnp.asarray(
+    n = pixels.shape[0]
+    if n == 0:
+        return np.zeros((0, 3), np.uint8), np.zeros(0, np.int32)
+    cap = 64
+    while cap < n:
+        cap *= 2
+    packed_np = (
         (pixels[:, 0].astype(np.int32) << 16)
         | (pixels[:, 1].astype(np.int32) << 8)
         | pixels[:, 2].astype(np.int32)
     )
-    values, count, inverse = unique_packed_padded(packed, capacity=packed.shape[0])
+    if cap != n:
+        packed_np = np.concatenate(
+            [packed_np, np.full(cap - n, packed_np[0], np.int32)]
+        )
+    packed = jnp.asarray(packed_np)
+    values, count, inverse = unique_packed_padded(packed, capacity=cap)
     m = int(count)
     palette = np.asarray(unpack_rgb(values[:m]))
-    return palette, np.asarray(inverse)
+    return palette, np.asarray(inverse)[:n]
