@@ -246,6 +246,24 @@ def kmeans_host(points: np.ndarray, k: int, *, seed: int = 42, iters: int = 25) 
     return np.asarray(labels[:n])
 
 
+def _use_pallas() -> bool:
+    """Route eps-components through the Pallas kernel on TPU backends.
+
+    RHCCQ_USE_PALLAS=1 forces it (interpret mode off-TPU), =0 disables.
+    """
+    import os
+
+    flag = os.environ.get("RHCCQ_USE_PALLAS")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def eps_components_host(
     points: np.ndarray, eps: float, groups: np.ndarray | None = None
 ) -> np.ndarray:
@@ -264,6 +282,14 @@ def eps_components_host(
         g = np.full(n_pad, -1, np.int32)
         g[:n] = groups
         g = jnp.asarray(g)
+    if _use_pallas() and points.shape[1] == 3:
+        from roibasedimagecompression_tpu.ops.pallas import epscc
+
+        labels = epscc.eps_components_pallas(
+            jnp.asarray(pts), jnp.float32(eps), jnp.asarray(valid), g,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return np.asarray(labels[:n])
     chunk = min(512, n_pad)
     labels = eps_components(
         jnp.asarray(pts), jnp.float32(eps), jnp.asarray(valid), g, chunk=chunk
