@@ -127,3 +127,13 @@ def test_fused_roi_matches_modular(lenna128):
     b_roi, b_non = RF.roi_masks(lenna128, cfg_)
     np.testing.assert_array_equal(a_roi, b_roi)
     np.testing.assert_array_equal(a_non, b_non)
+
+
+def test_encode_many_matches_single(lenna128):
+    """Stacked batch encoding must be bit-identical to per-image encoding."""
+    from roibasedimagecompression_tpu.parallel import stream
+
+    imgs = [lenna128[:96, :96], lenna128[32:, 32:][:96, :96]]
+    batch = stream.encode_many(imgs, rtc.CodecConfig(single_region=True))
+    singles = [rtc.encode(im, rtc.CodecConfig(single_region=True)) for im in imgs]
+    assert batch == singles
