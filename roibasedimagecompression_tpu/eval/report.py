@@ -66,6 +66,26 @@ def save_metric_histograms(results, path) -> None:
     plt.close(fig)
 
 
+def difference_maps(original: np.ndarray, reconstructed: np.ndarray) -> dict:
+    """Error visualizations (create_difference_visualization,
+    decoder/uncompression/comparison.py:82-106): absolute, squared, and
+    luminance-weighted difference maps normalized to uint8."""
+    of = original.astype(np.float64)
+    rf = reconstructed.astype(np.float64)
+    diff = np.abs(of - rf)
+
+    def norm(x):
+        m = x.max()
+        return (x / m * 255.0).astype(np.uint8) if m > 0 else np.zeros(x.shape, np.uint8)
+
+    weighted = (diff * np.array([0.299, 0.587, 0.114])).sum(axis=2)
+    return {
+        "absolute": norm(diff),
+        "squared": norm((of - rf) ** 2),
+        "weighted": norm(weighted),
+    }
+
+
 def compress_with_jpeg(image_path, out_path, quality: int = 85) -> dict:
     """JPEG baseline generator (other/jpg_compressor.py:5-44)."""
     img = image_io.imread_rgb(image_path)

@@ -215,6 +215,66 @@ def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
         return C.pack(palette, indices)
 
 
+def encode_debug(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -> dict:
+    """Encode while exposing every intermediate tier (the reference's
+    show_reconstruction_result / partial_decompress debug surface,
+    subregions.py:459, regions.py:75, image.py:296).
+
+    Returns dict with 'roi_mask', 'nonroi_mask', 'seg_map', 'tier1', 'tier2',
+    'tier3' (RGB images), and 'data' (.rhccq bytes).
+    """
+    from roibasedimagecompression_tpu.io import container as C
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+    from roibasedimagecompression_tpu.ops import unique as U
+
+    config = config or cfg.CodecConfig()
+    image_rgb = np.ascontiguousarray(np.asarray(image_rgb, dtype=np.uint8))
+    h, w = image_rgb.shape[:2]
+    min_size = cfg.min_region_size(image_rgb.size)
+
+    if config.single_region:
+        roi_mask = np.ones((h, w), bool)
+        nonroi_mask = np.zeros((h, w), bool)
+        roi_regions = [
+            SEG.Region(bbox=(0, 0, h, w), bbox_mask=roi_mask.copy(), area=h * w, kind="roi")
+        ]
+        nonroi_regions = []
+    else:
+        from roibasedimagecompression_tpu.models import roi_fused as ROI
+
+        roi_mask, nonroi_mask = ROI.roi_masks(image_rgb, config)
+        roi_regions = SEG.extract_regions(roi_mask, "roi")
+        nonroi_regions = SEG.extract_regions(nonroi_mask, "nonroi")
+        roi_regions, nonroi_regions = SEG.reassign_small_roi(
+            roi_regions, nonroi_regions, min_size
+        )
+
+    seg_map, seg_quality, seg_group = build_segment_map(
+        image_rgb, roi_regions, nonroi_regions, config
+    )
+    t1 = QB.tier1_colors(image_rgb, seg_map, seg_quality, seed=config.seed)
+    group_map = np.where(seg_map > 0, seg_group[seg_map], 0)
+    t2 = np.zeros_like(t1)
+    for g, q2 in ((1, config.roi_tier2_quality), (2, config.nonroi_tier2_quality)):
+        sel = group_map == g
+        if sel.any():
+            t2[sel] = _cluster_color_map(t1, sel, q2, config.seed)
+    sel = group_map > 0
+    t3 = np.zeros_like(t2)
+    if sel.any():
+        t3[sel] = _cluster_color_map(t2, sel, config.image_quality, config.seed)
+    palette, indices = U.unique_colors(t3.reshape(-1, 3))
+    return {
+        "roi_mask": roi_mask,
+        "nonroi_mask": nonroi_mask,
+        "seg_map": seg_map,
+        "tier1": t1,
+        "tier2": t2,
+        "tier3": t3,
+        "data": C.pack(palette, indices.reshape(h, w)),
+    }
+
+
 def encode(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -> bytes:
     """Encode an (h, w, 3) uint8 RGB image to .rhccq bytes."""
     config = config or cfg.CodecConfig()

@@ -290,3 +290,29 @@ def test_fast_edge_map(reference_images):
     assert edges.shape == img.shape[:2]
     assert 10 <= low < high <= 255
     assert 0 < edges.mean() < 0.5
+
+
+def test_encode_debug_intermediates(reference_images):
+    import roibasedimagecompression_tpu as rtc
+    from roibasedimagecompression_tpu.io import image_io
+    from roibasedimagecompression_tpu.models.codec import encode_debug
+
+    img = image_io.imread_rgb(reference_images / "png" / "Lenna.png")[::4, ::4]
+    out = encode_debug(img, rtc.CodecConfig(single_region=True))
+    assert out["tier1"].shape == img.shape
+    assert out["data"] == rtc.encode(img, rtc.CodecConfig(single_region=True))
+    # tiers reduce color counts monotonically
+    n1 = len(np.unique(out["tier1"].reshape(-1, 3), axis=0))
+    n3 = len(np.unique(out["tier3"].reshape(-1, 3), axis=0))
+    assert n3 <= n1
+
+
+def test_difference_maps(rng):
+    from roibasedimagecompression_tpu.eval.report import difference_maps
+
+    a = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    maps = difference_maps(a, b)
+    assert set(maps) == {"absolute", "squared", "weighted"}
+    assert maps["weighted"].shape == (16, 16)
+    assert maps["absolute"].max() == 255
