@@ -156,13 +156,27 @@ def _cluster_color_map(colors_rgb: np.ndarray, sel: np.ndarray, quality: float, 
     return new_palette[mapping[idx]]
 
 
+def _coerce_rgb(image: np.ndarray) -> np.ndarray:
+    """Accept (h, w), (h, w, 1), (h, w, 3) or (h, w, 4) uint8 input."""
+    image = np.asarray(image, dtype=np.uint8)
+    if image.ndim == 2:
+        image = np.stack([image] * 3, axis=-1)
+    elif image.shape[-1] == 1:
+        image = np.repeat(image, 3, axis=-1)
+    elif image.shape[-1] == 4:
+        image = image[..., :3]
+    if image.ndim != 3 or image.shape[-1] != 3:
+        raise ValueError(f"expected an RGB image, got shape {image.shape}")
+    return np.ascontiguousarray(image)
+
+
 def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
     """Batched encode path: device-bucketed tier-1, color-map tiers 2/3."""
     from roibasedimagecompression_tpu.io import container as C
     from roibasedimagecompression_tpu.models import quantize_batched as QB
     from roibasedimagecompression_tpu.ops import unique as U
 
-    image_rgb = np.ascontiguousarray(np.asarray(image_rgb, dtype=np.uint8))
+    image_rgb = _coerce_rgb(image_rgb)
     h, w = image_rgb.shape[:2]
     min_size = cfg.min_region_size(image_rgb.size)
 

@@ -137,3 +137,13 @@ def test_encode_many_matches_single(lenna128):
     batch = stream.encode_many(imgs, rtc.CodecConfig(single_region=True))
     singles = [rtc.encode(im, rtc.CodecConfig(single_region=True)) for im in imgs]
     assert batch == singles
+
+
+def test_encode_accepts_gray_and_rgba(lenna128):
+    gray = lenna128[..., 0]
+    d1 = rtc.encode(gray, rtc.CodecConfig(single_region=True))
+    assert rtc.decode(d1).shape == (*gray.shape, 3)
+    rgba = np.concatenate([lenna128, np.full((*lenna128.shape[:2], 1), 255, np.uint8)], -1)
+    d2 = rtc.encode(rgba, rtc.CodecConfig(single_region=True))
+    d3 = rtc.encode(lenna128, rtc.CodecConfig(single_region=True))
+    assert d2 == d3

@@ -184,14 +184,6 @@ def test_adaptive_metrics_structure(rng):
 def test_report_surfaces(tmp_path, reference_images):
     from roibasedimagecompression_tpu.eval import report
 
-    row = report.three_way_comparison(
-        reference_images / "png" / "Lenna.png",
-        reference_images / "jpg" / "kauai.jpg"
-        if (reference_images / "jpg" / "kauai.jpg").exists()
-        else reference_images / "png" / "Lenna.png",
-        reference_images / "rhccq_20_10" / "Lenna_compressed.rhccq",
-    ) if False else None
-
     # Use a JPEG generated from the PNG so shapes match.
     jpg_path = tmp_path / "lenna.jpg"
     stats = report.compress_with_jpeg(
