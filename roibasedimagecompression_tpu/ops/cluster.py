@@ -179,8 +179,9 @@ def kmeans(
         # Seeded random distinct-point init (large-k path, one shot).
         scores = jax.random.uniform(key, (m,)) + jnp.where(valid, 0.0, 2.0)
         order = jnp.argsort(scores)  # valid points first, random order
-        take = order[:k_max]
-        # If fewer valid points than k_max, reuse point 0 (masked by center_valid anyway).
+        # k_max may exceed the padded point count (shape-bucket quantization);
+        # wrap around — surplus centers are masked by center_valid.
+        take = order[jnp.arange(k_max) % m]
         centers = points[take]
 
     def assign(centers):

@@ -193,3 +193,17 @@ def test_from_pixels_roundtrip(rng):
     comp = Q.from_pixels(patch, (3, 4))
     np.testing.assert_array_equal(comp.to_rgb(), patch)
     assert comp.top_left == (3, 4)
+
+
+def test_kmeans_kmax_above_point_count(rng):
+    """Shape-bucket quantization can push k_max above the padded point count;
+    the random-init branch must not break (regression)."""
+    import jax.numpy as jnp
+
+    pts = rng.uniform(0, 255, (200, 3)).astype(np.float32)
+    labels, _ = C.kmeans(
+        jnp.asarray(pts), jnp.ones(200, bool), 150, k_max=512, chunk=200, plusplus=False
+    )
+    labels = np.asarray(labels)
+    assert labels.shape == (200,)
+    assert labels.max() < 512
