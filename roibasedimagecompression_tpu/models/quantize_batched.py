@@ -22,7 +22,6 @@ splits -> per-cluster mean colors -> per-pixel tier-1 color map.
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 

@@ -7,7 +7,6 @@ skimage.filters.sobel call sites of the reference.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -64,7 +64,6 @@ def sharded_stencil_frontend(mesh: Mesh, images: np.ndarray):
     XLA SPMD materializes the halo exchanges for the 3x3/boxfilter stencils —
     this is the codec's analogue of sequence parallelism (SURVEY.md §2.8).
     """
-    from roibasedimagecompression_tpu.ops import canny as CANNY
     from roibasedimagecompression_tpu.ops import colors as COL
     from roibasedimagecompression_tpu.ops import conv as CONV
 
