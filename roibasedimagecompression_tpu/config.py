@@ -156,6 +156,12 @@ class CodecConfig:
     # the TPU path).  False falls back to the per-segment reference-shaped
     # loop, kept for cross-checking.
     batched: bool = True
+    # Pixel-popularity-weighted cluster colors.  The reference averages the
+    # *palette entries* of a cluster unweighted (clustering.py:305,347); with
+    # weighting, the cluster color minimizes actual pixel MSE — strictly
+    # better PSNR at the same palette size/rate.  Set False for
+    # reference-law parity.
+    weighted_palette: bool = True
 
     @property
     def roi_tier2_quality(self) -> float:

@@ -136,7 +136,10 @@ def build_segment_map(
     return seg_map, np.asarray(qualities, np.float64), np.asarray(groups, np.int32)
 
 
-def _cluster_color_map(colors_rgb: np.ndarray, sel: np.ndarray, quality: float, seed: int):
+def _cluster_color_map(
+    colors_rgb: np.ndarray, sel: np.ndarray, quality: float, seed: int,
+    weighted: bool = True,
+):
     """Cluster the palette of colors_rgb[sel] (+ pinned black) and map them.
 
     Returns (mapped_colors (n_sel, 3) uint8) — the tier-2/3 re-cluster applied
@@ -152,7 +155,10 @@ def _cluster_color_map(colors_rgb: np.ndarray, sel: np.ndarray, quality: float, 
         # (merging.py:42-44) and feeds the n_colors law.
         palette = np.vstack([np.zeros((1, 3), np.uint8), palette])
         idx = idx + 1
-    new_palette, mapping = Q.cluster_palette(palette, quality, seed=seed)
+    weights = np.bincount(idx, minlength=len(palette)) if weighted else None
+    new_palette, mapping = Q.cluster_palette(
+        palette, quality, seed=seed, weights=weights
+    )
     return new_palette[mapping[idx]]
 
 
@@ -207,7 +213,10 @@ def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
         )
 
     with stage_timer("tier1"):
-        t1 = QB.tier1_colors(image_rgb, seg_map, seg_quality, seed=config.seed)
+        t1 = QB.tier1_colors(
+            image_rgb, seg_map, seg_quality, seed=config.seed,
+            weighted=config.weighted_palette,
+        )
 
     with stage_timer("tier2"):
         group_map = seg_group[seg_map]
@@ -215,13 +224,17 @@ def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
         for g, q2 in ((1, config.roi_tier2_quality), (2, config.nonroi_tier2_quality)):
             sel = group_map == g
             if sel.any():
-                t2[sel] = _cluster_color_map(t1, sel, q2, config.seed)
+                t2[sel] = _cluster_color_map(
+                    t1, sel, q2, config.seed, config.weighted_palette
+                )
 
     with stage_timer("tier3"):
         sel = group_map > 0
         t3 = np.zeros_like(t2)
         if sel.any():
-            t3[sel] = _cluster_color_map(t2, sel, config.image_quality, config.seed)
+            t3[sel] = _cluster_color_map(
+                t2, sel, config.image_quality, config.seed, config.weighted_palette
+            )
         palette, indices = U.unique_colors(t3.reshape(-1, 3))
         indices = indices.reshape(h, w)
 
@@ -266,17 +279,24 @@ def encode_debug(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -
     seg_map, seg_quality, seg_group = build_segment_map(
         image_rgb, roi_regions, nonroi_regions, config
     )
-    t1 = QB.tier1_colors(image_rgb, seg_map, seg_quality, seed=config.seed)
+    t1 = QB.tier1_colors(
+        image_rgb, seg_map, seg_quality, seed=config.seed,
+        weighted=config.weighted_palette,
+    )
     group_map = np.where(seg_map > 0, seg_group[seg_map], 0)
     t2 = np.zeros_like(t1)
     for g, q2 in ((1, config.roi_tier2_quality), (2, config.nonroi_tier2_quality)):
         sel = group_map == g
         if sel.any():
-            t2[sel] = _cluster_color_map(t1, sel, q2, config.seed)
+            t2[sel] = _cluster_color_map(
+                t1, sel, q2, config.seed, config.weighted_palette
+            )
     sel = group_map > 0
     t3 = np.zeros_like(t2)
     if sel.any():
-        t3[sel] = _cluster_color_map(t2, sel, config.image_quality, config.seed)
+        t3[sel] = _cluster_color_map(
+            t2, sel, config.image_quality, config.seed, config.weighted_palette
+        )
     palette, indices = U.unique_colors(t3.reshape(-1, 3))
     return {
         "roi_mask": roi_mask,

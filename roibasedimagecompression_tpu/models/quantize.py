@@ -68,11 +68,15 @@ def cluster_palette(
     eps: float | None = None,
     max_colors: int | None = None,
     seed: int = 42,
+    weights: np.ndarray | None = None,
 ):
     """Cluster a palette at the given quality; returns (new_palette, mapping).
 
     mapping is (n,) int32 old-index -> new-index.  Black rows are preserved
     verbatim and listed first (cluster_palette_colors_parallel semantics).
+    weights (optional, per palette entry, e.g. pixel counts) make the cluster
+    color the pixel-MSE-minimizing mean instead of the reference's unweighted
+    palette-entry mean.
     """
     palette = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
     n = len(palette)
@@ -114,11 +118,15 @@ def cluster_palette(
     # Mean color per final cluster, truncated (clustering.py:305,347);
     # deterministic order by cluster id.
     base = len(new_palette)
-    counts = np.bincount(cluster_of_point, minlength=n_clusters).astype(np.float64)
+    if weights is not None:
+        w = np.asarray(weights, np.float64)[nb_pos]
+    else:
+        w = np.ones(len(nb_pos), np.float64)
+    counts = np.bincount(cluster_of_point, weights=w, minlength=n_clusters)
     sums = np.zeros((n_clusters, 3), np.float64)
     for c in range(3):
         sums[:, c] = np.bincount(
-            cluster_of_point, weights=pts[:, c].astype(np.float64), minlength=n_clusters
+            cluster_of_point, weights=pts[:, c].astype(np.float64) * w, minlength=n_clusters
         )
     present = np.flatnonzero(counts > 0)
     compact = np.full(n_clusters, -1, np.int64)

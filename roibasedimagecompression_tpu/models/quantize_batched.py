@@ -169,6 +169,7 @@ def tier1_colors(
     seg_quality: np.ndarray,
     *,
     seed: int = 42,
+    weighted: bool = True,
 ) -> np.ndarray:
     """Per-pixel tier-1 quantized colors for the whole image in one pass.
 
@@ -244,11 +245,18 @@ def tier1_colors(
     )
 
     # ---- cluster mean colors (truncated uint8, clustering.py:305,347) ----
-    counts = np.bincount(cluster_of_pair, minlength=next_cluster).astype(np.float64)
+    # weighted=True weights each palette color by its pixel count so the
+    # cluster color minimizes pixel-level MSE; weighted=False reproduces the
+    # reference's unweighted palette-entry mean.
+    if weighted:
+        w = np.bincount(inverse, minlength=len(seg_of_pair)).astype(np.float64)
+    else:
+        w = np.ones(len(seg_of_pair), np.float64)
+    counts = np.bincount(cluster_of_pair, weights=w, minlength=next_cluster)
     means = np.zeros((next_cluster, 3), np.float64)
     for c in range(3):
         means[:, c] = np.bincount(
-            cluster_of_pair, weights=colors[:, c], minlength=next_cluster
+            cluster_of_pair, weights=colors[:, c] * w, minlength=next_cluster
         )
     means /= np.maximum(counts, 1.0)[:, None]
     cluster_colors = means.astype(np.uint8)

@@ -87,7 +87,10 @@ def encode_many(images: list, config: cfg.CodecConfig | None = None) -> list:
     seg_group = np.concatenate(groups_list)
 
     # 3. ONE tier-1 pass across every segment of every image.
-    t1_tall = QB.tier1_colors(tall_img, tall_seg, seg_quality, seed=config.seed)
+    t1_tall = QB.tier1_colors(
+        tall_img, tall_seg, seg_quality, seed=config.seed,
+        weighted=config.weighted_palette,
+    )
 
     # 4. Per-image tiers 2/3 + container packing (zlib off the critical path).
     def finish(k: int) -> bytes:
@@ -98,11 +101,15 @@ def encode_many(images: list, config: cfg.CodecConfig | None = None) -> list:
         for g, q2 in ((1, config.roi_tier2_quality), (2, config.nonroi_tier2_quality)):
             sel = group_map == g
             if sel.any():
-                t2[sel] = CODEC._cluster_color_map(t1, sel, q2, config.seed)
+                t2[sel] = CODEC._cluster_color_map(
+                    t1, sel, q2, config.seed, config.weighted_palette
+                )
         sel = group_map > 0
         t3 = np.zeros_like(t2)
         if sel.any():
-            t3[sel] = CODEC._cluster_color_map(t2, sel, config.image_quality, config.seed)
+            t3[sel] = CODEC._cluster_color_map(
+                t2, sel, config.image_quality, config.seed, config.weighted_palette
+            )
         from roibasedimagecompression_tpu.ops import unique as U
 
         palette, indices = U.unique_colors(t3.reshape(-1, 3))
