@@ -182,6 +182,31 @@ def load(path) -> Rhccq:
         return unpack(f.read())
 
 
+def describe(data: bytes) -> str:
+    """Human-readable type/size report for a container.
+
+    The library equivalent of print_compressed_data_types /
+    optimize_compressed_dtype's report (encoder/compression/
+    compression.py:233-413).
+    """
+    payload = unpack(data)
+    h, w = payload.shape
+    n = payload.n_colors
+    dtype = payload.indices.dtype
+    optimal = min_index_dtype(int(payload.indices.max()) if payload.indices.size else 0)
+    raw = h * w * 3
+    lines = [
+        f"shape: {w}x{h} ({h * w:,} pixels)",
+        f"palette: {n} colors ({n * 3:,} bytes raw)",
+        f"indices: dtype {dtype.name} ({payload.indices.nbytes:,} bytes raw); "
+        f"optimal dtype {optimal.name}"
+        + ("" if dtype == optimal else "  <- downgradable"),
+        f"file: {len(data):,} bytes = {len(data) * 8 / (h * w):.3f} bpp, "
+        f"{raw / len(data):.2f}:1 vs raw RGB",
+    ]
+    return "\n".join(lines)
+
+
 def decode_file(path) -> np.ndarray:
     """Load + reconstruct: .rhccq path -> (h, w, 3) uint8 RGB."""
     return load(path).to_rgb()

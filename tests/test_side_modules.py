@@ -308,3 +308,30 @@ def test_difference_maps(rng):
     assert set(maps) == {"absolute", "squared", "weighted"}
     assert maps["weighted"].shape == (16, 16)
     assert maps["absolute"].max() == 255
+
+
+def test_bilateral_filter_vs_cv2(rng):
+    import cv2
+
+    from roibasedimagecompression_tpu.ops.bilateral import bilateral_filter
+
+    img = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    ours = np.asarray(bilateral_filter(jnp.asarray(img), 9, 50.0, 50.0))
+    ref = cv2.bilateralFilter(img, 9, 50.0, 50.0)
+    # Different window/normalization details; close agreement suffices.
+    assert np.abs(ours.astype(int) - ref.astype(int)).mean() < 8.0
+    # Edge preservation: a hard edge must stay sharp.
+    edge = np.zeros((32, 32, 3), np.uint8)
+    edge[:, 16:] = 200
+    sm = np.asarray(bilateral_filter(jnp.asarray(edge), 9, 30.0, 30.0))
+    assert int(sm[16, 15, 0]) < 30 and int(sm[16, 16, 0]) > 170
+
+
+def test_container_describe(reference_images):
+    from roibasedimagecompression_tpu.io import container
+
+    data = (reference_images / "rhccq_20_10" / "Lenna_compressed.rhccq").read_bytes()
+    text = container.describe(data)
+    assert "147 colors" in text
+    assert "512x512" in text
+    assert "bpp" in text
