@@ -38,8 +38,14 @@ def _roi_masks_batch(images: jax.Array, rc: cfg.RoiConfig):
     return jax.vmap(lambda im: RF.roi_masks_device(im, rc))(images)
 
 
-def encode_many(images: list, config: cfg.CodecConfig | None = None) -> list:
-    """Encode a list of same-shape (h, w, 3) uint8 images -> list of bytes."""
+def encode_many(
+    images: list, config: cfg.CodecConfig | None = None, mesh=None
+) -> list:
+    """Encode a list of same-shape (h, w, 3) uint8 images -> list of bytes.
+
+    With `mesh` (a jax.sharding.Mesh with a 'data' axis), the batched ROI
+    frontend shards images across devices — the data-parallel deployment path.
+    """
     config = config or cfg.CodecConfig()
     if not images:
         return []
@@ -51,12 +57,21 @@ def encode_many(images: list, config: cfg.CodecConfig | None = None) -> list:
     b, h, w, _ = batch.shape
     min_size = cfg.min_region_size(h * w * 3)
 
-    # 1. Batched ROI masks (one device call for the whole batch).
+    # 1. Batched ROI masks (one device call for the whole batch),
+    #    optionally sharded over the mesh's data axis.
     if config.single_region:
         roi_masks = np.ones((b, h, w), bool)
         nonroi_masks = np.zeros((b, h, w), bool)
     else:
-        rm, nm = _roi_masks_batch(jnp.asarray(batch), config.roi)
+        x = jnp.asarray(batch)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = jax.device_put(x, NamedSharding(mesh, P("data")))
+            with mesh:
+                rm, nm = _roi_masks_batch(x, config.roi)
+        else:
+            rm, nm = _roi_masks_batch(x, config.roi)
         roi_masks, nonroi_masks = np.asarray(rm), np.asarray(nm)
 
     # 2. Per-image segmentation -> one stacked tall segment map.

@@ -107,3 +107,19 @@ def test_cli_encode_roundtrip(tmp_path, reference_images):
 def test_cli_bad_command():
     r = _run_cli(["frobnicate"])
     assert r.returncode != 0
+
+
+def test_encode_many_sharded_mesh(reference_images):
+    """Data-parallel stream encoding over the virtual device mesh must match
+    the unsharded result bit-for-bit."""
+    import roibasedimagecompression_tpu as rtc
+    from roibasedimagecompression_tpu.io import image_io
+    from roibasedimagecompression_tpu.parallel import mesh as M
+    from roibasedimagecompression_tpu.parallel import stream
+
+    img = image_io.imread_rgb(reference_images / "png" / "Lenna.png")[::4, ::4]
+    imgs = [img[:96, :96], img[16:112, 16:112]]
+    mesh = M.make_mesh(2, space=1)
+    a = stream.encode_many(imgs, rtc.CodecConfig(), mesh=mesh)
+    b = stream.encode_many(imgs, rtc.CodecConfig())
+    assert a == b
