@@ -110,24 +110,32 @@ def gradient_and_nms(image: jnp.ndarray):
     return mag, nms
 
 
-def hysteresis_labeled(mag: jnp.ndarray, nms: jnp.ndarray, low, high):
-    """Hysteresis + component bookkeeping in one pass.
+_STRONG_OFFSET = jnp.int32(1 << 30)
 
-    The final edge set is a union of whole weak-graph components, so the
-    components of the output ARE the kept weak components — no second CC pass
-    is needed for scoring.  Returns (edges, n_components, n_edge_pixels).
+
+def hysteresis_labeled(mag: jnp.ndarray, nms: jnp.ndarray, low, high):
+    """Hysteresis + component bookkeeping, scatter-free.
+
+    Min-label propagation runs over the weak graph with strong pixels' keys
+    offset by -2^30: a component's propagated minimum is negative iff it
+    contains a strong pixel — hysteresis, component counting and sizing all
+    come out of stencil mins + gathers (TPU scatters serialize; segment_max
+    over h*w buckets was the dominant cost of the Canny sweep).
+
+    Returns (edges, n_kept_components, n_edge_pixels).
     """
     weak = nms & (mag > low)
     strong = nms & (mag > high)
-    labels = CC.propagate_labels(weak, connectivity=8)
     h, w = mag.shape
-    flat = jnp.where(weak, labels, h * w).reshape(-1)
-    strong_any = jax.ops.segment_max(
-        strong.reshape(-1).astype(jnp.int32), flat, num_segments=h * w + 1
+    ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w + jax.lax.broadcasted_iota(
+        jnp.int32, (h, w), 1
     )
-    edges = weak & (strong_any[flat].reshape(h, w) > 0)
-    # Each kept component contributes exactly one bucket (its min-index label).
-    n_comp = jnp.sum(strong_any[: h * w] > 0)
+    keys = jnp.where(strong, ids - _STRONG_OFFSET, ids)
+    prop = CC.propagate_keys(keys, weak, connectivity=8)
+    edges = weak & (prop < 0)
+    # One representative per kept component: the pixel whose own key equals
+    # the propagated minimum (and that minimum is negative).
+    n_comp = jnp.sum((prop == keys) & weak & (prop < 0))
     return edges, n_comp, jnp.sum(edges)
 
 

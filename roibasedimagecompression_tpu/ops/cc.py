@@ -76,6 +76,58 @@ def propagate_labels(
 
 
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def propagate_keys(
+    keys: jnp.ndarray, mask: jnp.ndarray, connectivity: int = 8, max_iters: int = 256
+) -> jnp.ndarray:
+    """Min-propagate tagged keys over a mask graph (scatter-free CC trick).
+
+    keys must be `flat_index` or `flat_index - 2^30` (the tag): the minimum
+    key of a component is negative iff any member is tagged, and pointer
+    jumping can still decode the position from a key.  Background gets
+    INT_MAX.  Used by the Canny hysteresis/scoring path.
+    """
+    h, w = keys.shape
+    fg = mask.astype(jnp.bool_)
+    offset = jnp.int32(1 << 30)
+    init = jnp.where(fg, keys, _INT_MAX)
+
+    if connectivity == 4:
+        shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    else:
+        shifts = [
+            (0, 1), (0, -1), (1, 0), (-1, 0),
+            (1, 1), (1, -1), (-1, 1), (-1, -1),
+        ]
+
+    def neighbor_min(k):
+        padded = jnp.pad(k, 1, constant_values=_INT_MAX)
+        out = k
+        for dr, dc in shifts:
+            out = jnp.minimum(
+                out, jax.lax.dynamic_slice(padded, (1 + dr, 1 + dc), (h, w))
+            )
+        return jnp.where(fg, out, _INT_MAX)
+
+    def jump(k):
+        flat = k.reshape(-1)
+        pos = jnp.where(flat < 0, flat + offset, flat)
+        safe = jnp.where(pos < h * w, pos, 0)
+        return jnp.where(fg, jnp.minimum(k, flat[safe].reshape(h, w)), _INT_MAX)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        k, _, it = state
+        new = jump(jump(neighbor_min(k)))
+        return new, jnp.any(new != k), it + 1
+
+    out, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
 def propagate_equal_labels(
     values: jnp.ndarray,
     mask: jnp.ndarray,
