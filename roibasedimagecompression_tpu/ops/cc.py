@@ -24,19 +24,42 @@ import numpy as np
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
-@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
-def propagate_labels(
-    mask: jnp.ndarray, connectivity: int = 8, max_iters: int = 256
-) -> jnp.ndarray:
-    """Min-index labels per component; background pixels get INT_MAX.
+def _segmented_min_scan(vals: jnp.ndarray, seg_ok: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Min-scan within contiguous runs along `axis`, both directions.
 
-    Returns (h, w) int32 where each component carries the minimum flat index
-    of its pixels.
+    seg_ok[i] True means element i may receive values from element i-1 along
+    the axis (i.e. they are in the same run).  Scatter/gather-free: TPU has
+    no fast gather/scatter, so label propagation rides associative scans —
+    one sweep carries the minimum across an entire straight run.
     """
-    h, w = mask.shape
-    fg = mask.astype(jnp.bool_)
-    flat_ids = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
-    init = jnp.where(fg, flat_ids, _INT_MAX)
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, jnp.minimum(av, bv), bv), af & bf
+
+    def scan_dir(v, ok, reverse):
+        out, _ = jax.lax.associative_scan(
+            combine, (v, ok), axis=axis, reverse=reverse
+        )
+        return out
+
+    fwd = scan_dir(vals, seg_ok, False)
+    # Reverse direction: the "may receive from previous" flag belongs to the
+    # other side of each boundary.
+    bwd_ok = jnp.roll(seg_ok, -1, axis=axis)
+    index = [slice(None)] * vals.ndim
+    index[axis] = -1
+    bwd_ok = bwd_ok.at[tuple(index)].set(False)
+    bwd = scan_dir(vals, bwd_ok, True)
+    return jnp.minimum(fwd, bwd)
+
+
+def _propagate_min(init, fg, same, connectivity, max_iters):
+    """Shared driver: iterate (8/4-neighbor stencil min) + (row scan) +
+    (column scan) until fixpoint.  `same[a]` gates run-continuity with the
+    previous element along each axis (for equality-constrained variants)."""
+    h, w = init.shape
 
     if connectivity == 4:
         shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
@@ -50,17 +73,15 @@ def propagate_labels(
         padded = jnp.pad(lab, 1, constant_values=_INT_MAX)
         out = lab
         for dr, dc in shifts:
-            out = jnp.minimum(
-                out, jax.lax.dynamic_slice(padded, (1 + dr, 1 + dc), (h, w))
-            )
+            nb = jax.lax.dynamic_slice(padded, (1 + dr, 1 + dc), (h, w))
+            gate = same.get((dr, dc))
+            if gate is not None:
+                nb = jnp.where(gate, nb, _INT_MAX)
+            out = jnp.minimum(out, nb)
         return jnp.where(fg, out, _INT_MAX)
 
-    def jump(lab):
-        flat = lab.reshape(-1)
-        safe = jnp.where(flat < h * w, flat, 0)
-        return jnp.where(
-            fg, jnp.minimum(lab, flat[safe].reshape(h, w)), _INT_MAX
-        )
+    row_ok = same["row_ok"]
+    col_ok = same["col_ok"]
 
     def cond(state):
         _, changed, it = state
@@ -68,63 +89,59 @@ def propagate_labels(
 
     def body(state):
         lab, _, it = state
-        new = jump(jump(neighbor_min(lab)))
+        new = neighbor_min(lab)
+        new = jnp.where(fg, _segmented_min_scan(new, row_ok, axis=1), _INT_MAX)
+        new = jnp.where(fg, _segmented_min_scan(new, col_ok, axis=0), _INT_MAX)
         return new, jnp.any(new != lab), it + 1
 
     labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
     return labels
 
 
+def _run_gates(fg):
+    """Continuity flags: element may receive from its predecessor along the
+    axis iff both are foreground."""
+    prev_row = jnp.pad(fg, ((0, 0), (1, 0)))[:, :-1]
+    prev_col = jnp.pad(fg, ((1, 0), (0, 0)))[:-1, :]
+    return fg & prev_row, fg & prev_col
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def propagate_labels(
+    mask: jnp.ndarray, connectivity: int = 8, max_iters: int = 256
+) -> jnp.ndarray:
+    """Min-index labels per component; background pixels get INT_MAX.
+
+    Returns (h, w) int32 where each component carries the minimum flat index
+    of its pixels.
+    """
+    h, w = mask.shape
+    fg = mask.astype(jnp.bool_)
+    flat_ids = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    init = jnp.where(fg, flat_ids, _INT_MAX)
+    row_ok, col_ok = _run_gates(fg)
+    return _propagate_min(
+        init, fg, {"row_ok": row_ok, "col_ok": col_ok}, connectivity, max_iters
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
 def propagate_keys(
     keys: jnp.ndarray, mask: jnp.ndarray, connectivity: int = 8, max_iters: int = 256
 ) -> jnp.ndarray:
-    """Min-propagate tagged keys over a mask graph (scatter-free CC trick).
+    """Min-propagate arbitrary int32 keys over a mask graph.
 
-    keys must be `flat_index` or `flat_index - 2^30` (the tag): the minimum
-    key of a component is negative iff any member is tagged, and pointer
-    jumping can still decode the position from a key.  Background gets
-    INT_MAX.  Used by the Canny hysteresis/scoring path.
+    The minimum key of a component reaches all its members; tagging some
+    pixels with key - 2^30 makes "component contains a tagged pixel" readable
+    from the sign (the Canny hysteresis/scoring trick).  Background gets
+    INT_MAX.
     """
-    h, w = keys.shape
     fg = mask.astype(jnp.bool_)
-    offset = jnp.int32(1 << 30)
     init = jnp.where(fg, keys, _INT_MAX)
-
-    if connectivity == 4:
-        shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
-    else:
-        shifts = [
-            (0, 1), (0, -1), (1, 0), (-1, 0),
-            (1, 1), (1, -1), (-1, 1), (-1, -1),
-        ]
-
-    def neighbor_min(k):
-        padded = jnp.pad(k, 1, constant_values=_INT_MAX)
-        out = k
-        for dr, dc in shifts:
-            out = jnp.minimum(
-                out, jax.lax.dynamic_slice(padded, (1 + dr, 1 + dc), (h, w))
-            )
-        return jnp.where(fg, out, _INT_MAX)
-
-    def jump(k):
-        flat = k.reshape(-1)
-        pos = jnp.where(flat < 0, flat + offset, flat)
-        safe = jnp.where(pos < h * w, pos, 0)
-        return jnp.where(fg, jnp.minimum(k, flat[safe].reshape(h, w)), _INT_MAX)
-
-    def cond(state):
-        _, changed, it = state
-        return changed & (it < max_iters)
-
-    def body(state):
-        k, _, it = state
-        new = jump(jump(neighbor_min(k)))
-        return new, jnp.any(new != k), it + 1
-
-    out, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
-    return out
+    row_ok, col_ok = _run_gates(fg)
+    return _propagate_min(
+        init, fg, {"row_ok": row_ok, "col_ok": col_ok}, connectivity, max_iters
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
@@ -154,32 +171,15 @@ def propagate_equal_labels(
         ]
 
     pad_vals = jnp.pad(vals, 1, constant_values=-2)
-
-    def neighbor_min(lab):
-        padded = jnp.pad(lab, 1, constant_values=_INT_MAX)
-        out = lab
-        for dr, dc in shifts:
-            nb_lab = jax.lax.dynamic_slice(padded, (1 + dr, 1 + dc), (h, w))
-            nb_val = jax.lax.dynamic_slice(pad_vals, (1 + dr, 1 + dc), (h, w))
-            out = jnp.minimum(out, jnp.where(nb_val == vals, nb_lab, _INT_MAX))
-        return jnp.where(fg, out, _INT_MAX)
-
-    def jump(lab):
-        flat = lab.reshape(-1)
-        safe = jnp.where(flat < h * w, flat, 0)
-        return jnp.where(fg, jnp.minimum(lab, flat[safe].reshape(h, w)), _INT_MAX)
-
-    def cond(state):
-        _, changed, it = state
-        return changed & (it < max_iters)
-
-    def body(state):
-        lab, _, it = state
-        new = jump(jump(neighbor_min(lab)))
-        return new, jnp.any(new != lab), it + 1
-
-    labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
-    return labels
+    gates = {
+        (dr, dc): jax.lax.dynamic_slice(pad_vals, (1 + dr, 1 + dc), (h, w)) == vals
+        for dr, dc in shifts
+    }
+    prev_row = jnp.pad(vals, ((0, 0), (1, 0)), constant_values=-2)[:, :-1]
+    prev_col = jnp.pad(vals, ((1, 0), (0, 0)), constant_values=-2)[:-1, :]
+    gates["row_ok"] = fg & (prev_row == vals)
+    gates["col_ok"] = fg & (prev_col == vals)
+    return _propagate_min(init, fg, gates, connectivity, max_iters)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))

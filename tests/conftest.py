@@ -39,6 +39,8 @@ def reference_images():
     return REFERENCE / "images"
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test sees the same deterministic stream
+    # regardless of execution order.
     return np.random.default_rng(0)
