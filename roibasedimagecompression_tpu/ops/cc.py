@@ -182,36 +182,65 @@ def propagate_equal_labels(
     return _propagate_min(init, fg, gates, connectivity, max_iters)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
+@functools.partial(jax.jit, static_argnames=())
 def adopt_labels(
-    labels: jnp.ndarray, keep: jnp.ndarray, mask: jnp.ndarray, max_iters: int = 1024
+    labels: jnp.ndarray, keep: jnp.ndarray, mask: jnp.ndarray
 ) -> jnp.ndarray:
-    """Flood labels from kept pixels into unkept mask pixels (4-neighborhood).
+    """Assign every unkept mask pixel the label of its nearest kept pixel.
 
-    Each unkept pixel repeatedly adopts the minimum labeled neighbor until all
-    mask pixels carry a label (SLIC small-fragment absorption).
+    SLIC small-fragment absorption.  Implemented as jump flooding with the
+    label carried alongside the seed coordinates — O(log n) passes of pure
+    shifts, no gathers (the previous 1-pixel-per-iteration flood cost up to
+    1024 sequential stencil passes on TPU).
     """
     h, w = labels.shape
     fg = mask.astype(jnp.bool_)
-    lab0 = jnp.where(keep & fg, labels.astype(jnp.int32), _INT_MAX)
+    seeds = keep & fg
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    big = jnp.int32(1 << 20)
+    sy = jnp.where(seeds, yy, big)
+    sx = jnp.where(seeds, xx, big)
+    sl = jnp.where(seeds, labels.astype(jnp.int32), _INT_MAX)
 
-    def cond(state):
-        lab, changed, it = state
-        return changed & (it < max_iters)
+    def d2(a, b):
+        dy = (a - yy).astype(jnp.float32)
+        dx = (b - xx).astype(jnp.float32)
+        return dy * dy + dx * dx
 
-    def body(state):
-        lab, _, it = state
-        padded = jnp.pad(lab, 1, constant_values=_INT_MAX)
-        best = lab
-        for dr, dc in [(0, 1), (0, -1), (1, 0), (-1, 0)]:
-            best = jnp.minimum(
-                best, jax.lax.dynamic_slice(padded, (1 + dr, 1 + dc), (h, w))
-            )
-        new = jnp.where(fg & (lab == _INT_MAX), best, lab)
-        return new, jnp.any(new != lab), it + 1
+    max_step = 1
+    n_steps = 1
+    while max_step < max(h, w):
+        max_step *= 2
+        n_steps += 1
+    pad = max_step
 
-    out, _, _ = jax.lax.while_loop(cond, body, (lab0, jnp.bool_(True), 0))
-    return jnp.where(fg & (out != _INT_MAX), out, jnp.where(fg, labels, out))
+    def body(i, state):
+        sy, sx, sl = state
+        k = jnp.int32(max_step) >> i
+        py = jnp.pad(sy, pad, constant_values=big)
+        px = jnp.pad(sx, pad, constant_values=big)
+        pl = jnp.pad(sl, pad, constant_values=_INT_MAX)
+        best = d2(sy, sx)
+        for dr_s, dc_s in (
+            (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)
+        ):
+            dr = k * dr_s
+            dc = k * dc_s
+            cy = jax.lax.dynamic_slice(py, (pad + dr, pad + dc), (h, w))
+            cx = jax.lax.dynamic_slice(px, (pad + dr, pad + dc), (h, w))
+            cl = jax.lax.dynamic_slice(pl, (pad + dr, pad + dc), (h, w))
+            cand = d2(cy, cx)
+            better = cand < best
+            sy = jnp.where(better, cy, sy)
+            sx = jnp.where(better, cx, sx)
+            sl = jnp.where(better, cl, sl)
+            best = jnp.where(better, cand, best)
+        return sy, sx, sl
+
+    _, _, sl = jax.lax.fori_loop(0, n_steps, body, (sy, sx, sl))
+    # Kept pixels retain their own label; unreachable pixels fall back too.
+    return jnp.where(seeds | (sl == _INT_MAX), jnp.where(fg, labels, sl), sl)
 
 
 def connected_components(mask: np.ndarray, connectivity: int = 8, prefer_native: bool = True):
