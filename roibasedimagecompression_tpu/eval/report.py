@@ -66,6 +66,36 @@ def save_metric_histograms(results, path) -> None:
     plt.close(fig)
 
 
+def save_region_grid(image_rgb: np.ndarray, regions: list, path, max_display: int = 12) -> None:
+    """Grid visualization of extracted regions (plot_regions,
+    encoder/ROI/roi.py:490-524 / encoder/subregions/visualize.py:4-38)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = min(len(regions), max_display)
+    if n == 0:
+        return
+    cols = 4
+    rows = -(-n // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(14, 3.5 * rows), squeeze=False)
+    for i, ax in enumerate(axes.ravel()):
+        ax.axis("off")
+        if i >= n:
+            continue
+        r = regions[i]
+        minr, minc, maxr, maxc = r.bbox
+        crop = image_rgb[minr:maxr, minc:maxc].copy()
+        crop[~r.bbox_mask] = 0
+        ax.imshow(crop)
+        ax.set_title(f"{r.kind} region {i + 1}\narea {r.area:,} px", fontsize=9)
+    fig.suptitle(f"{len(regions)} regions")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def difference_maps(original: np.ndarray, reconstructed: np.ndarray) -> dict:
     """Error visualizations (create_difference_visualization,
     decoder/uncompression/comparison.py:82-106): absolute, squared, and

@@ -158,3 +158,33 @@ def test_lab_roundtrip(rng):
     rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
     back = np.asarray(COL.lab_to_rgb(COL.rgb_to_lab(jnp.asarray(rgb))))
     assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 1
+
+
+def test_propagate_keys_tagging(rng):
+    """Tagged-key propagation: a component's min is negative iff it contains a
+    tagged pixel; untagged components keep non-negative minima."""
+    mask = np.zeros((16, 32), bool)
+    mask[2, 1:30] = True          # long horizontal path (raster-aligned)
+    mask[10:14, 5:9] = True       # separate blob, untagged
+    ids = (np.arange(16 * 32, dtype=np.int32)).reshape(16, 32)
+    keys = ids.copy()
+    keys[2, 29] -= 1 << 30        # tag the FAR END of the path
+    out = np.asarray(CC.propagate_keys(jnp.asarray(keys), jnp.asarray(mask), 8))
+    path = out[mask & (ids // 32 == 2)]
+    assert (path < 0).all()       # tag reached the whole path
+    blob = out[10:14, 5:9]
+    assert (blob >= 0).all()
+    assert len(np.unique(blob)) == 1
+
+
+def test_propagate_labels_long_snake(rng):
+    """Convergence regression: a raster-order snake must fully converge
+    (the 2-hop pointer-jumping version silently hit the iteration cap)."""
+    h, w = 64, 128
+    mask = np.zeros((h, w), bool)
+    for r in range(0, h, 2):
+        mask[r, :] = True
+        if r + 1 < h:
+            mask[r + 1, -1 if (r // 2) % 2 == 0 else 0] = True
+    labels, num = CC.connected_components(mask, 8, prefer_native=False)
+    assert num == 2  # one snake + background
