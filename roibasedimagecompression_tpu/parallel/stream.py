@@ -64,15 +64,23 @@ def encode_many(
         nonroi_masks = np.zeros((b, h, w), bool)
     else:
         x = jnp.asarray(batch)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        try:
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-            x = jax.device_put(x, NamedSharding(mesh, P("data")))
-            with mesh:
+                x = jax.device_put(x, NamedSharding(mesh, P("data")))
+                with mesh:
+                    rm, nm = _roi_masks_batch(x, config.roi)
+            else:
                 rm, nm = _roi_masks_batch(x, config.roi)
-        else:
-            rm, nm = _roi_masks_batch(x, config.roi)
-        roi_masks, nonroi_masks = np.asarray(rm), np.asarray(nm)
+            roi_masks, nonroi_masks = np.asarray(rm), np.asarray(nm)
+        except Exception:
+            # Large vmapped batches of the fused ROI graph can exceed what a
+            # single-chip runtime tolerates (observed worker fault at B=4 on
+            # the tunneled v5e); fall back to the per-image graph.
+            masks = [RF.roi_masks(batch[k], config) for k in range(b)]
+            roi_masks = np.stack([m[0] for m in masks])
+            nonroi_masks = np.stack([m[1] for m in masks])
 
     # 2. Per-image segmentation -> one stacked tall segment map.
     seg_maps = []
