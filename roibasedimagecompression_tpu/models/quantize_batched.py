@@ -193,7 +193,6 @@ def tier1_colors(
     seg_ids, starts, sizes = np.unique(
         seg_of_pair, return_index=True, return_counts=True
     )
-    n_problems = len(seg_ids)
     qualities = seg_quality[seg_ids]
     # Reference n_colors counts the bbox-crop black too (subregions.py:426-437).
     n_colors_law = sizes + 1

@@ -86,7 +86,6 @@ def encode_many(
     seg_maps = []
     qualities = [np.zeros(1)]
     groups_list = [np.zeros(1, np.int32)]
-    offsets = [0]
     next_id = 0
     for k in range(b):
         roi_regions = SEG.extract_regions(roi_masks[k], "roi")
@@ -102,7 +101,6 @@ def encode_many(
         qualities.append(seg_q[1:])
         groups_list.append(seg_g[1:])
         next_id += len(seg_q) - 1
-        offsets.append(next_id)
 
     tall_img = batch.reshape(b * h, w, 3)
     tall_seg = np.concatenate(seg_maps, axis=0)

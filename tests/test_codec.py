@@ -147,3 +147,14 @@ def test_encode_accepts_gray_and_rgba(lenna128):
     d2 = rtc.encode(rgba, rtc.CodecConfig(single_region=True))
     d3 = rtc.encode(lenna128, rtc.CodecConfig(single_region=True))
     assert d2 == d3
+
+
+def test_quality_regression_pin(lenna128):
+    """Round-1 quality pin: catch regressions in future optimization rounds.
+
+    Full-mode encode of 128x128 Lenna must stay in the measured R-D corridor."""
+    data = rtc.encode(lenna128)
+    q = M.quality_metrics(lenna128, rtc.decode(data))
+    bpp = len(data) * 8 / (128 * 128)
+    assert q["psnr"] > 29.0, (q["psnr"], bpp)
+    assert bpp < 7.5, (q["psnr"], bpp)
