@@ -123,3 +123,22 @@ def test_encode_many_sharded_mesh(reference_images):
     a = stream.encode_many(imgs, rtc.CodecConfig(), mesh=mesh)
     b = stream.encode_many(imgs, rtc.CodecConfig())
     assert a == b
+
+
+def test_encode_many_roi_fallback(monkeypatch, reference_images):
+    """If the batched ROI graph faults, encode_many must fall back to the
+    per-image graph and still produce identical output."""
+    import roibasedimagecompression_tpu as rtc
+    from roibasedimagecompression_tpu.io import image_io
+    from roibasedimagecompression_tpu.parallel import stream
+
+    img = image_io.imread_rgb(reference_images / "png" / "Lenna.png")[::8, ::8]
+    imgs = [img, img[::-1].copy()]
+    expected = stream.encode_many(imgs, rtc.CodecConfig())
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated TPU worker fault")
+
+    monkeypatch.setattr(stream, "_roi_masks_batch", boom)
+    got = stream.encode_many(imgs, rtc.CodecConfig())
+    assert got == expected
