@@ -20,7 +20,7 @@ from roibasedimagecompression_tpu.io import image_io
 from roibasedimagecompression_tpu.ops import metrics as M
 
 PRESETS = [(10, 5), (20, 10), (35, 20), (50, 35)]
-IMAGES = [1, 5, 13, 20]
+IMAGES = [1, 13]
 
 
 def main():
