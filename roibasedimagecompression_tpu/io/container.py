@@ -110,6 +110,10 @@ def pack(palette: np.ndarray, indices: np.ndarray, shape=None, *, use_rle: bool 
     if max_index >= palette.shape[0]:
         raise ValueError(f"index {max_index} out of range for palette of {palette.shape[0]}")
     dtype = min_index_dtype(max_index)
+    if use_rle and max_index >= 65536:
+        raise ValueError(
+            f"RLE mode stores u16 indices; palette has {max_index + 1} colors"
+        )
     if use_rle:
         # RLE(value, run u16 pairs) + zlib — the reference's alternative
         # entropy mode (compression.py:25-66).  Marked with 'm' so unpack can
@@ -146,6 +150,8 @@ def unpack(data: bytes) -> Rhccq:
     if not isinstance(payload, dict):
         raise ValueError("corrupt container payload")
     h, w = payload["s"]
+    if "l" not in payload and "ps" not in payload:
+        raise ValueError("corrupt container payload (no palette length)")
     n_colors = int(payload.get("l", payload.get("ps")))
     palette = np.frombuffer(zlib.decompress(payload["p"]), dtype=np.uint8)
     palette = palette.reshape(n_colors, 3).copy()

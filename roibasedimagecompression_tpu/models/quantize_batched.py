@@ -78,15 +78,20 @@ def _black_repair_pairs(seg_of_pair, color_of_pair, inverse):
     is_black = color_of_pair == 0
     n_seg = int(seg_of_pair.max()) + 1 if len(seg_of_pair) else 1
 
-    # Darkest non-black pair index per segment (key = norm2 << 25 | pair id).
-    sentinel = np.int64(1) << 62
+    # Darkest non-black pair index per segment (key = norm2 << 44 | pair id).
+    # norm2 < 3*255^2 < 2^18, so the key fits int64 for tables up to 2^44
+    # pairs (the 1k-image stream path concatenates all images' pairs — a u24
+    # color x 2^20 segments bound keeps any realistic table far below that).
+    if len(seg_of_pair) >= (1 << 44):
+        raise ValueError(f"pair table too large: {len(seg_of_pair)}")
+    sentinel = np.iinfo(np.int64).max
     order_key = np.where(
-        is_black, sentinel, norm2 << 25 | np.arange(len(seg_of_pair))
+        is_black, sentinel, norm2 << 44 | np.arange(len(seg_of_pair))
     )
     darkest = np.full(n_seg, sentinel, np.int64)
     np.minimum.at(darkest, seg_of_pair, order_key)
-    has_nonblack = darkest < (np.int64(1) << 62)
-    darkest_idx = np.where(has_nonblack, darkest & ((1 << 25) - 1), -1)
+    has_nonblack = darkest < sentinel
+    darkest_idx = np.where(has_nonblack, darkest & ((1 << 44) - 1), -1)
 
     # Remap black pairs onto their segment's darkest pair.
     target = np.arange(len(seg_of_pair), dtype=np.int64)
@@ -289,6 +294,17 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
         ks = np.minimum(np.maximum(2, -(-n // lim)), n)
 
         caps = [64, 256, 1024, 4096, 16384, 65536]
+        # Clusters beyond the biggest bucket cap (a >65536-color palette in one
+        # cluster) are split one-by-one with chunked device k-means — rare, but
+        # silently skipping them would break the max_colors_per_cluster law.
+        huge_rows = np.flatnonzero(sizes[oversized] > caps[-1])
+        for row in huge_rows:
+            cid = oversized[row]
+            s, m = starts[cid], sizes[cid]
+            lab = CL.kmeans_host(colors[order[s : s + m]], int(ks[row]), seed=seed)
+            uniq_l, inv = np.unique(lab, return_inverse=True)
+            cluster_of_pair[order[s : s + m]] = next_cluster + inv
+            next_cluster += len(uniq_l)
         for cap, rows in _bucketize(sizes[oversized], caps).items():
             ids = oversized[rows]
             b = _pad_batch(len(ids))

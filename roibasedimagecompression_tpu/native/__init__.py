@@ -124,6 +124,10 @@ def cc_label(mask: np.ndarray, connectivity: int = 8):
     stats: (n, 5) int64 [area, minr, minc, maxr_excl, maxc_excl].
     """
     m = np.ascontiguousarray(mask != 0, dtype=np.uint8)
+    if m.size >= 2**31:
+        # The union-find parents are int32 flat pixel indices; larger images
+        # must use the device path.
+        return None
     lib = get_lib()
     if lib is None:
         return None

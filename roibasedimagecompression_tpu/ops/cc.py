@@ -108,14 +108,17 @@ def _run_gates(fg):
 
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
 def propagate_labels(
-    mask: jnp.ndarray, connectivity: int = 8, max_iters: int = 256
+    mask: jnp.ndarray, connectivity: int = 8, max_iters: int | None = None
 ) -> jnp.ndarray:
     """Min-index labels per component; background pixels get INT_MAX.
 
     Returns (h, w) int32 where each component carries the minimum flat index
-    of its pixels.
+    of its pixels.  max_iters=None uses h*w — a true convergence bound (the
+    while_loop exits at the fixpoint, so the cap is free in the normal case).
     """
     h, w = mask.shape
+    if max_iters is None:
+        max_iters = h * w
     fg = mask.astype(jnp.bool_)
     flat_ids = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
     init = jnp.where(fg, flat_ids, _INT_MAX)
@@ -127,7 +130,7 @@ def propagate_labels(
 
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
 def propagate_keys(
-    keys: jnp.ndarray, mask: jnp.ndarray, connectivity: int = 8, max_iters: int = 256
+    keys: jnp.ndarray, mask: jnp.ndarray, connectivity: int = 8, max_iters: int | None = None
 ) -> jnp.ndarray:
     """Min-propagate arbitrary int32 keys over a mask graph.
 
@@ -136,6 +139,8 @@ def propagate_keys(
     from the sign (the Canny hysteresis/scoring trick).  Background gets
     INT_MAX.
     """
+    if max_iters is None:
+        max_iters = mask.shape[0] * mask.shape[1]
     fg = mask.astype(jnp.bool_)
     init = jnp.where(fg, keys, _INT_MAX)
     row_ok, col_ok = _run_gates(fg)
@@ -149,7 +154,7 @@ def propagate_equal_labels(
     values: jnp.ndarray,
     mask: jnp.ndarray,
     connectivity: int = 4,
-    max_iters: int = 256,
+    max_iters: int | None = None,
 ) -> jnp.ndarray:
     """Min-index labels of components where neighbors must share `values`.
 
@@ -157,6 +162,8 @@ def propagate_equal_labels(
     enforce-connectivity).  Background (mask False) gets INT_MAX.
     """
     h, w = values.shape
+    if max_iters is None:
+        max_iters = h * w
     fg = mask.astype(jnp.bool_)
     flat_ids = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
     init = jnp.where(fg, flat_ids, _INT_MAX)

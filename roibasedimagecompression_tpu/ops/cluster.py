@@ -51,7 +51,7 @@ def eps_components(
     groups: jax.Array | None = None,
     *,
     chunk: int = 512,
-    max_iters: int = 64,
+    max_iters: int | None = None,
 ) -> jax.Array:
     """Connected components of the eps-distance graph (DBSCAN, min_samples=1).
 
@@ -62,11 +62,17 @@ def eps_components(
       groups: optional (n,) int32; edges only connect equal group ids.  This is
         how many segment palettes cluster in ONE call: concatenate them and tag
         each point with its segment id (block-diagonal adjacency).
+      max_iters: iteration cap; None (default) uses n, which GUARANTEES
+        convergence (each sweep propagates the min label one graph hop, so
+        diameter <= n-1 sweeps always suffice; the while_loop exits as soon as
+        labels stop changing, so typical cost is unchanged).
     Returns:
       (n,) int32 labels; each component is labelled by its minimum point index.
       Invalid points get n.
     """
     n, _ = points.shape
+    if max_iters is None:
+        max_iters = n
     pad = (-n) % chunk
     if pad:
         points = jnp.pad(points, ((0, pad), (0, 0)))

@@ -100,15 +100,18 @@ def eps_components_pallas(
     valid: jax.Array,
     groups: jax.Array | None = None,
     *,
-    max_iters: int = 64,
+    max_iters: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """eps-graph connected components with the Pallas sweep kernel.
 
     Same contract as ops.cluster.eps_components: (n,) int32 min-index labels,
-    invalid points get n.
+    invalid points get n.  max_iters=None uses n — guaranteed convergence
+    (diameter <= n-1 sweeps); the while_loop exits early once labels settle.
     """
     n = points.shape[0]
+    if max_iters is None:
+        max_iters = n
     pad = (-n) % _ROW_BLOCK
     if pad:
         points = jnp.pad(points, ((0, pad), (0, 0)))

@@ -1,0 +1,114 @@
+"""Regression tests for round-2 hardening fixes.
+
+Covers: eps-CC convergence under long chains (cap is now n, guaranteed),
+container RLE u16 overflow rejection, corrupt-payload errors, oversized-
+cluster splitting beyond the biggest device bucket, and the black-repair
+pair-key packing at large table sizes.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def test_eps_components_long_chain_converges():
+    """A 300-link eps chain (>64 hops) must resolve to ONE component.
+
+    Guards the silent-wrong-partition failure mode: the old max_iters=64
+    default could stop before the min label reached the chain's far end.
+    """
+    from roibasedimagecompression_tpu.ops import cluster as CL
+
+    n = 300
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = np.arange(n)  # spaced exactly 1.0 apart
+    labels = CL.eps_components_host(pts, eps=1.0)
+    assert len(np.unique(labels)) == 1
+
+    # And with a gap: two components.
+    pts[n // 2 :, 0] += 10.0
+    labels = CL.eps_components_host(pts, eps=1.0)
+    assert len(np.unique(labels)) == 2
+
+
+def test_eps_components_chain_small_chunk():
+    """Same chain through the raw kernel with a small chunk size."""
+    from roibasedimagecompression_tpu.ops import cluster as CL
+
+    n = 256
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, 0] = np.arange(n)
+    valid = np.ones(n, bool)
+    labels = np.asarray(
+        CL.eps_components(jnp.asarray(pts), jnp.float32(1.0), jnp.asarray(valid), chunk=64)
+    )
+    assert (labels == 0).all()
+
+
+def test_rle_rejects_wide_palettes():
+    from roibasedimagecompression_tpu.io import container
+
+    palette = np.zeros((70000, 3), np.uint8)
+    indices = np.full((4, 4), 69999, np.uint32)
+    with pytest.raises(ValueError, match="RLE"):
+        container.pack(palette, indices, use_rle=True)
+    # The plain path handles the same payload (uint32 indices).
+    data = container.pack(palette, indices)
+    out = container.unpack(data)
+    assert out.indices.dtype == np.uint32
+    assert (out.indices == 69999).all()
+
+
+def test_unpack_missing_length_key_raises_valueerror():
+    import pickle
+    import struct
+    import zlib
+
+    from roibasedimagecompression_tpu.io import container
+
+    payload = {"s": (2, 2), "p": zlib.compress(b"\x00" * 6), "i": zlib.compress(b"\x00" * 4)}
+    blob = zlib.compress(pickle.dumps(payload, protocol=5))
+    data = container.MAGIC + struct.pack("<I", len(blob)) + blob
+    with pytest.raises(ValueError, match="corrupt"):
+        container.unpack(data)
+
+
+def test_split_oversized_beyond_biggest_bucket():
+    """A cluster larger than the 65536-point device bucket must still split
+    (host-driven chunked k-means), not silently persist oversized."""
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+
+    rng = np.random.default_rng(0)
+    n = 70000
+    colors = rng.uniform(0, 255, (n, 3)).astype(np.float32)
+    cluster_of_pair = np.zeros(n, np.int64)
+    pair_max_colors = np.full(n, 40000, np.int64)
+    out, next_cluster = QB._split_oversized_batched(
+        colors, cluster_of_pair.copy(), pair_max_colors, 1, seed=0
+    )
+    sizes = np.bincount(out)
+    assert sizes.max() <= 40000
+    assert next_cluster >= 3
+
+
+def test_black_repair_large_pair_index():
+    """Pair-table indices above 2^25 must round-trip through the darkest-key
+    packing (the old norm2<<25 layout corrupted them)."""
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+
+    # Simulate a large table cheaply: segment ids interleaved so the darkest
+    # non-black pair of the last segment sits at a high index.
+    n = (1 << 20) + 7  # > 2^20 exercises index bits beyond the old field width
+    seg = np.zeros(n, np.int32)
+    seg[-3:] = 1
+    colors = np.full(n, 0x010101, np.int32)
+    colors[-3] = 0  # black pair in segment 1
+    colors[-2] = 0x020202
+    colors[-1] = 0x030303
+    inverse = np.arange(n, dtype=np.int64)
+    seg_out, col_out, inv_out, _ = QB._black_repair_pairs(seg, colors, inverse)
+    # The black pair resolved to segment 1's darkest non-black color (0x020202).
+    assert 0 not in col_out[seg_out == 1]
+    repaired = col_out[inv_out[n - 3]]
+    assert repaired == 0x020202
