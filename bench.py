@@ -1,15 +1,20 @@
-"""Benchmark: full-pipeline encode throughput (megapixels/sec) + quality.
+"""Benchmark: batched encode throughput (megapixels/sec) + quality.
 
 Prints ONE JSON line:
   {"metric": "encode_throughput_mpps", "value": ..., "unit": "MP/s",
    "vs_baseline": ...}
 
+Measures the deployment regime (BASELINE.json config 5 — a stream of
+same-shape images through encode_many): warm up on two images to populate the
+shape-bucket compile cache, then time a batch of 8 fresh Kodak images
+end-to-end (ROI -> segmentation -> tiers 1-3 -> container bytes).
+
 Baseline convention: the reference publishes no numbers (BASELINE.md); its
 architecture implies at most ~1 MP/s on a desktop CPU (minutes/image per-pixel
 Python loops).  vs_baseline = value / 1.0 MP/s.
 
-Extra context (quality at the produced rate, per-stage timing, device-core
-throughput) goes to stderr so the JSON line stays clean.
+Extra context (quality at the produced rate, per-stage timing, single-image
+latency) goes to stderr so the JSON line stays clean.
 """
 
 import json
@@ -34,51 +39,71 @@ def main():
     from roibasedimagecompression_tpu.io import container, image_io
     from roibasedimagecompression_tpu.models import codec
     from roibasedimagecompression_tpu.ops import metrics as M
+    from roibasedimagecompression_tpu.parallel import stream
     from roibasedimagecompression_tpu.utils import timing
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
-    # Two same-shape Kodak images: the first run pays shape-specific compiles,
-    # the second measures warm throughput (the deployment regime — a stream of
-    # equal-shape images, BASELINE.json config 5).
-    paths = ["/root/reference/images/png/1.png", "/root/reference/images/png/2.png"]
-    if all(os.path.exists(p) for p in paths):
-        warm_img, img = (image_io.imread_rgb(p) for p in paths)
+    kodak = "/root/reference/images/png"
+    warm_ids = [1, 2]
+    bench_ids = [3, 5, 6, 7, 8, 11, 12, 13]  # landscape 768x512 Kodak set
+    if os.path.exists(f"{kodak}/1.png"):
+        warm_imgs = [image_io.imread_rgb(f"{kodak}/{i}.png") for i in warm_ids]
+        bench_imgs = [image_io.imread_rgb(f"{kodak}/{i}.png") for i in bench_ids]
     else:
         rng = np.random.default_rng(0)
-        warm_img = rng.integers(0, 256, (512, 768, 3), dtype=np.uint8)
-        img = rng.integers(0, 256, (512, 768, 3), dtype=np.uint8)
+        warm_imgs = [rng.integers(0, 256, (512, 768, 3), dtype=np.uint8) for _ in range(2)]
+        bench_imgs = [rng.integers(0, 256, (512, 768, 3), dtype=np.uint8) for _ in range(8)]
 
     size = int(os.environ.get("RHCCQ_BENCH_SIZE", "0"))
     if size:
-        warm_img = warm_img[:size, :size]
-        img = img[:size, :size]
+        warm_imgs = [im[:size, :size] for im in warm_imgs]
+        bench_imgs = [im[:size, :size] for im in bench_imgs]
+    n_bench = int(os.environ.get("RHCCQ_BENCH_IMAGES", "0"))
+    if n_bench:
+        bench_imgs = bench_imgs[:n_bench]
 
     cfg = CodecConfig()
 
+    # Warm-up: populates the shape-bucket compile cache (persistent across
+    # processes via .jax_cache) AND exercises the single-image API.
     t0 = time.perf_counter()
-    codec.encode(warm_img, cfg)
-    cold = time.perf_counter() - t0
-    log(f"cold encode ({warm_img.shape[1]}x{warm_img.shape[0]}): {cold:.1f}s")
+    codec.encode(warm_imgs[0], cfg)
+    log(f"warm-up encode 1: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    stream.encode_many(warm_imgs, cfg)
+    log(f"warm-up encode_many x{len(warm_imgs)}: {time.perf_counter() - t0:.1f}s")
 
+    # Measured run: a fresh batch through the deployment path.
     timing.reset_stages()
     t0 = time.perf_counter()
-    data = codec.encode(img, cfg)
+    blobs = stream.encode_many(bench_imgs, cfg)
     dt = time.perf_counter() - t0
 
-    mp = img.shape[0] * img.shape[1] / 1e6
+    mp = sum(im.shape[0] * im.shape[1] for im in bench_imgs) / 1e6
     mpps = mp / dt
 
-    rec = codec.decode(data)
-    q = M.quality_metrics(img, rec)
-    payload = container.unpack(data)
-    bpp = len(data) * 8.0 / (img.shape[0] * img.shape[1])
+    # Quality/rate over the measured batch.
+    psnrs, ssims, bpps, colors = [], [], [], []
+    for im, data in zip(bench_imgs, blobs):
+        rec = codec.decode(data)
+        q = M.quality_metrics(im, rec)
+        psnrs.append(q["psnr"])
+        ssims.append(q["ssim"])
+        bpps.append(len(data) * 8.0 / (im.shape[0] * im.shape[1]))
+        colors.append(container.unpack(data).n_colors)
+
+    # Single-image warm latency for reference.
+    t0 = time.perf_counter()
+    codec.encode(bench_imgs[0], cfg)
+    single = time.perf_counter() - t0
 
     log(
-        f"encode {img.shape[1]}x{img.shape[0]}: {dt:.1f}s = {mpps:.4f} MP/s; "
-        f"{len(data)} bytes ({bpp:.2f} bpp), psnr={q['psnr']:.2f}, "
-        f"ssim={q['ssim']:.4f}, colors={payload.n_colors}"
+        f"encode_many x{len(bench_imgs)} ({mp:.2f} MP): {dt:.1f}s = {mpps:.4f} MP/s; "
+        f"mean psnr={np.mean(psnrs):.2f}, ssim={np.mean(ssims):.4f}, "
+        f"bpp={np.mean(bpps):.3f}, colors={np.mean(colors):.0f}"
     )
+    log(f"single-image warm encode: {single:.1f}s")
     log(f"stages: { {k: round(v['seconds'], 2) for k, v in timing.stage_report().items()} }")
 
     print(
@@ -88,11 +113,12 @@ def main():
                 "value": round(mpps, 5),
                 "unit": "MP/s",
                 "vs_baseline": round(mpps / 1.0, 5),
-                "psnr_db": round(q["psnr"], 2),
-                "ssim": round(q["ssim"], 4),
-                "bpp": round(bpp, 3),
-                "palette_colors": payload.n_colors,
-                "image": f"{img.shape[1]}x{img.shape[0]}",
+                "psnr_db": round(float(np.mean(psnrs)), 2),
+                "ssim": round(float(np.mean(ssims)), 4),
+                "bpp": round(float(np.mean(bpps)), 3),
+                "palette_colors": int(np.mean(colors)),
+                "batch_images": len(bench_imgs),
+                "single_image_seconds": round(single, 2),
             }
         )
     )

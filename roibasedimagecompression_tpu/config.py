@@ -162,6 +162,12 @@ class CodecConfig:
     # better PSNR at the same palette size/rate.  Set False for
     # reference-law parity.
     weighted_palette: bool = True
+    # Region fusion: bidirectional small-region reassignment followed by an
+    # adjacency merge of same-kind regions (process_regions_with_reassignment
+    # + fuse_adjacent_regions_optimized, encoder/ROI/roi.py:109-249).  The
+    # reference ships this as an alternative to plain extract_regions and
+    # does not wire it into its main encode driver — off by default here too.
+    region_fusion: bool = False
 
     @property
     def roi_tier2_quality(self) -> float:

@@ -96,44 +96,101 @@ def subregion_quantization(
     return out
 
 
+def _extract_and_assign(image_rgb, roi_mask, nonroi_mask, config, min_size):
+    """Region extraction + reassignment, with the optional fusion pass.
+
+    Default: main-path extract + small-ROI demotion (roi.py:45-103).  With
+    config.region_fusion: the alternative bidirectional-reassign + adjacency
+    fusion (roi.py:109-249)."""
+    if config.region_fusion:
+        return SEG.process_regions_with_reassignment(
+            image_rgb, roi_mask, nonroi_mask
+        )
+    roi_regions = SEG.extract_regions(roi_mask, "roi")
+    nonroi_regions = SEG.extract_regions(nonroi_mask, "nonroi")
+    return SEG.reassign_small_roi(roi_regions, nonroi_regions, min_size)
+
+
+def build_segment_maps_many(
+    images: list,
+    regions_per_image: list,
+    config: cfg.CodecConfig,
+    mesh=None,
+) -> list:
+    """Rasterize per-region SLIC segments into global (h, w) id maps — for a
+    whole BATCH of images in shape-bucketed device calls.
+
+    Args:
+      images: list of (h, w, 3) uint8 images.
+      regions_per_image: list of (roi_regions, nonroi_regions) tuples.
+    Returns:
+      list of (seg_map, seg_quality (n+1,), seg_group (n+1,)) per image,
+      with 1=roi, 2=nonroi group ids.  ROI regions rasterize last so they win
+      buffer-zone overlaps (tier-3 merge order: ROI component first => ROI
+      wins, image.py:246-254).
+
+    All regions of all images pool into the same split-score and SLIC batches
+    (one vmapped call per shape bucket) — the round-1 per-region loop cost
+    14 of 31.7 s/image; this is the VERDICT round-2 item 1 fix.
+    """
+    flat_regions = []  # (image_idx, region), nonroi first then roi per image
+    for k, (roi_regions, nonroi_regions) in enumerate(regions_per_image):
+        for region in list(nonroi_regions) + list(roi_regions):
+            flat_regions.append((k, region))
+
+    crops = []
+    masks = []
+    for k, region in flat_regions:
+        minr, minc, maxr, maxc = region.bbox
+        crops.append(images[k][minr:maxr, minc:maxc])
+        masks.append(region.bbox_mask)
+
+    n_segs = SEG.optimal_segments_many(crops, masks, mesh=mesh)
+    labels_list = SEG.region_segments_many(
+        crops, masks, n_segs,
+        compactness=config.slic_compactness, sigma=config.slic_sigma,
+        mesh=mesh,
+    )
+
+    results = []
+    pos = 0
+    for k, (roi_regions, nonroi_regions) in enumerate(regions_per_image):
+        h, w = images[k].shape[:2]
+        seg_map = np.zeros((h, w), np.int32)
+        qualities = [0.0]
+        groups = [0]
+        next_id = 1
+        for region in list(nonroi_regions) + list(roi_regions):
+            labels = labels_list[pos]
+            pos += 1
+            n_local = int(labels.max())
+            if n_local == 0:
+                continue
+            minr, minc, maxr, maxc = region.bbox
+            view = seg_map[minr:maxr, minc:maxc]
+            sel = labels > 0
+            view[sel] = labels[sel] + (next_id - 1)
+            q = config.roi_quality if region.kind == "roi" else config.nonroi_quality
+            g = 1 if region.kind == "roi" else 2
+            qualities.extend([q] * n_local)
+            groups.extend([g] * n_local)
+            next_id += n_local
+        results.append(
+            (seg_map, np.asarray(qualities, np.float64), np.asarray(groups, np.int32))
+        )
+    return results
+
+
 def build_segment_map(
     image_rgb: np.ndarray,
     roi_regions: list,
     nonroi_regions: list,
     config: cfg.CodecConfig,
 ):
-    """Rasterize per-region SLIC segments into one global (h, w) id map.
-
-    Returns (seg_map, seg_quality (n+1,), seg_group (n+1,) with 1=roi,
-    2=nonroi).  ROI regions rasterize last so they win buffer-zone overlaps
-    (tier-3 merge order: ROI component first => ROI wins, image.py:246-254).
-    """
-    h, w = image_rgb.shape[:2]
-    seg_map = np.zeros((h, w), np.int32)
-    qualities = [0.0]
-    groups = [0]
-    next_id = 1
-    for region in list(nonroi_regions) + list(roi_regions):
-        minr, minc, maxr, maxc = region.bbox
-        crop = image_rgb[minr:maxr, minc:maxc]
-        mask = region.bbox_mask
-        n_seg = SEG.optimal_segments(crop, mask)
-        labels = SEG.region_segments(
-            crop, mask, n_seg,
-            compactness=config.slic_compactness, sigma=config.slic_sigma,
-        )
-        n_local = int(labels.max())
-        if n_local == 0:
-            continue
-        view = seg_map[minr:maxr, minc:maxc]
-        sel = labels > 0
-        view[sel] = labels[sel] + (next_id - 1)
-        q = config.roi_quality if region.kind == "roi" else config.nonroi_quality
-        g = 1 if region.kind == "roi" else 2
-        qualities.extend([q] * n_local)
-        groups.extend([g] * n_local)
-        next_id += n_local
-    return seg_map, np.asarray(qualities, np.float64), np.asarray(groups, np.int32)
+    """Single-image segment map (see build_segment_maps_many)."""
+    return build_segment_maps_many(
+        [image_rgb], [(roi_regions, nonroi_regions)], config
+    )[0]
 
 
 def _cluster_color_map(
@@ -160,6 +217,55 @@ def _cluster_color_map(
         palette, quality, seed=seed, weights=weights
     )
     return new_palette[mapping[idx]]
+
+
+def tiers23_colors_many(t1_list: list, group_map_list: list, config: cfg.CodecConfig, mesh=None):
+    """Tier-2 + tier-3 color maps for a batch of images in TWO batched calls.
+
+    Every image's per-group tier-2 clustering problems pool into one
+    cluster_color_maps_many call; tier-3 (which consumes tier-2) pools into a
+    second.  Replaces the per-image, per-group _cluster_color_map loop.
+
+    Returns (t2_list, t3_list) of (h, w, 3) uint8 color maps.
+    """
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+
+    # ---- tier 2: one problem per (image, group) -----------------------------
+    colors_in, sels, quals, owner = [], [], [], []
+    for k, (t1, gm) in enumerate(zip(t1_list, group_map_list)):
+        for g, q2 in ((1, config.roi_tier2_quality), (2, config.nonroi_tier2_quality)):
+            sel = gm == g
+            if sel.any():
+                colors_in.append(t1)
+                sels.append(sel)
+                quals.append(q2)
+                owner.append(k)
+    t2_list = [np.zeros_like(t1) for t1 in t1_list]
+    if colors_in:
+        mapped = QB.cluster_color_maps_many(
+            colors_in, sels, quals, seed=config.seed,
+            weighted=config.weighted_palette, mesh=mesh,
+        )
+        for j, k in enumerate(owner):
+            t2_list[k][sels[j]] = mapped[j]
+
+    # ---- tier 3: one problem per image --------------------------------------
+    colors_in, sels, owner = [], [], []
+    for k, (t2, gm) in enumerate(zip(t2_list, group_map_list)):
+        sel = gm > 0
+        if sel.any():
+            colors_in.append(t2)
+            sels.append(sel)
+            owner.append(k)
+    t3_list = [np.zeros_like(t2) for t2 in t2_list]
+    if colors_in:
+        mapped = QB.cluster_color_maps_many(
+            colors_in, sels, [config.image_quality] * len(colors_in),
+            seed=config.seed, weighted=config.weighted_palette, mesh=mesh,
+        )
+        for j, k in enumerate(owner):
+            t3_list[k][sels[j]] = mapped[j]
+    return t2_list, t3_list
 
 
 def _coerce_rgb(image: np.ndarray) -> np.ndarray:
@@ -201,10 +307,8 @@ def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
             from roibasedimagecompression_tpu.models import roi_fused as ROI
 
             roi_mask, nonroi_mask = ROI.roi_masks(image_rgb, config)
-            roi_regions = SEG.extract_regions(roi_mask, "roi")
-            nonroi_regions = SEG.extract_regions(nonroi_mask, "nonroi")
-            roi_regions, nonroi_regions = SEG.reassign_small_roi(
-                roi_regions, nonroi_regions, min_size
+            roi_regions, nonroi_regions = _extract_and_assign(
+                image_rgb, roi_mask, nonroi_mask, config, min_size
             )
 
     with stage_timer("segment"):
@@ -218,23 +322,10 @@ def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
             weighted=config.weighted_palette,
         )
 
-    with stage_timer("tier2"):
+    with stage_timer("tier23"):
         group_map = seg_group[seg_map]
-        t2 = np.zeros_like(t1)
-        for g, q2 in ((1, config.roi_tier2_quality), (2, config.nonroi_tier2_quality)):
-            sel = group_map == g
-            if sel.any():
-                t2[sel] = _cluster_color_map(
-                    t1, sel, q2, config.seed, config.weighted_palette
-                )
-
-    with stage_timer("tier3"):
-        sel = group_map > 0
-        t3 = np.zeros_like(t2)
-        if sel.any():
-            t3[sel] = _cluster_color_map(
-                t2, sel, config.image_quality, config.seed, config.weighted_palette
-            )
+        t2_list, t3_list = tiers23_colors_many([t1], [group_map], config)
+        t3 = t3_list[0]
         palette, indices = U.unique_colors(t3.reshape(-1, 3))
         indices = indices.reshape(h, w)
 
@@ -270,10 +361,8 @@ def encode_debug(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -
         from roibasedimagecompression_tpu.models import roi_fused as ROI
 
         roi_mask, nonroi_mask = ROI.roi_masks(image_rgb, config)
-        roi_regions = SEG.extract_regions(roi_mask, "roi")
-        nonroi_regions = SEG.extract_regions(nonroi_mask, "nonroi")
-        roi_regions, nonroi_regions = SEG.reassign_small_roi(
-            roi_regions, nonroi_regions, min_size
+        roi_regions, nonroi_regions = _extract_and_assign(
+            image_rgb, roi_mask, nonroi_mask, config, min_size
         )
 
     seg_map, seg_quality, seg_group = build_segment_map(
@@ -284,19 +373,8 @@ def encode_debug(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -
         weighted=config.weighted_palette,
     )
     group_map = np.where(seg_map > 0, seg_group[seg_map], 0)
-    t2 = np.zeros_like(t1)
-    for g, q2 in ((1, config.roi_tier2_quality), (2, config.nonroi_tier2_quality)):
-        sel = group_map == g
-        if sel.any():
-            t2[sel] = _cluster_color_map(
-                t1, sel, q2, config.seed, config.weighted_palette
-            )
-    sel = group_map > 0
-    t3 = np.zeros_like(t2)
-    if sel.any():
-        t3[sel] = _cluster_color_map(
-            t2, sel, config.image_quality, config.seed, config.weighted_palette
-        )
+    t2_list, t3_list = tiers23_colors_many([t1], [group_map], config)
+    t2, t3 = t2_list[0], t3_list[0]
     palette, indices = U.unique_colors(t3.reshape(-1, 3))
     return {
         "roi_mask": roi_mask,
@@ -333,10 +411,8 @@ def encode(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -> byte
             from roibasedimagecompression_tpu.models import roi as ROI
 
             roi_mask, nonroi_mask = ROI.roi_masks(image_rgb, config)
-            roi_regions = SEG.extract_regions(roi_mask, "roi")
-            nonroi_regions = SEG.extract_regions(nonroi_mask, "nonroi")
-            roi_regions, nonroi_regions = SEG.reassign_small_roi(
-                roi_regions, nonroi_regions, min_size
+            roi_regions, nonroi_regions = _extract_and_assign(
+                image_rgb, roi_mask, nonroi_mask, config, min_size
             )
 
     with stage_timer("tier1"):

@@ -68,21 +68,24 @@ def analysis_step(
     thr = H.masked_mean(density, edges) / 100.0
     roi_seed = edges & (density > thr)
 
-    # SLIC assignment over the full frame (masked variant of ops/slic core).
-    lab = COL.rgb_to_lab(image_rgb)
-    lab = CONV.gaussian_blur(lab, 1.0)
+    # SLIC assignment over the full frame (the fused ops/slic core).
     n_centers = n_centers_side * n_centers_side
     step = jnp.float32((h * w / n_centers) ** 0.5)
     centers_yx = _grid_centers(h, w, n_centers_side)
-    cyi = jnp.clip(centers_yx[:, 0].astype(jnp.int32), 0, h - 1)
-    cxi = jnp.clip(centers_yx[:, 1].astype(jnp.int32), 0, w - 1)
-    ratio = 10.0 / step
-    init_centers = jnp.concatenate(
-        [lab[cyi, cxi], centers_yx * ratio], axis=1
-    ).astype(jnp.float32)
+    cyi = jnp.clip(jnp.round(centers_yx[:, 0]).astype(jnp.int32), 0, h - 1)
+    cxi = jnp.clip(jnp.round(centers_yx[:, 1]).astype(jnp.int32), 0, w - 1)
     mask = jnp.ones((h, w), jnp.bool_)
-    segments = SLIC._slic_assign(
-        lab, mask, init_centers, step, 10.0, n_centers, iters=10
+    segments = SLIC._slic_core(
+        image_rgb,
+        mask,
+        jnp.stack([cyi, cxi], axis=1),
+        jnp.ones((n_centers,), jnp.bool_),
+        step,
+        n_centers=n_centers,
+        iters=10,
+        compactness=10.0,
+        sigma=1.0,
+        chunk=min(16384, h * w),
     )
 
     # Palette extraction + eps clustering at the quality preset.

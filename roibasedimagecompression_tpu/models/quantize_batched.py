@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from roibasedimagecompression_tpu import config as cfg
 from roibasedimagecompression_tpu.ops import cluster as CL
+from roibasedimagecompression_tpu.parallel import shard as SHARD
 
 _BUCKETS = (64, 256, 1024, 4096, 9999)  # eps-CC path caps (>=10k goes to k-means)
 
@@ -155,17 +156,26 @@ def _pad_kmax(k: int) -> int:
     return p
 
 
-def _gather_bucket(ids, starts, sizes, colors_f32, cap):
-    """Pack per-problem color runs (sorted layout) into a (B_pad, cap, 3)
-    batch; padded rows are all-invalid."""
-    b = _pad_batch(len(ids))
+def _gather_bucket(ids, starts, sizes, colors_f32, cap, order=None, mesh=None):
+    """Pack per-problem color runs into a (B_pad, cap, 3) batch.
+
+    Fully vectorized: one fancy-index gather builds the whole batch (the
+    round-1 per-row Python loop was a tier-1 hot spot).  `order` optionally
+    maps run positions to pair indices (the split path gathers from an
+    argsort layout).  Returns (pts, valid, pair_idx) where pair_idx[row, j]
+    is the pair-table index behind pts[row, j] (0 where invalid).
+    """
+    b = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
+    n_rows = len(ids)
+    pos = starts[ids][:, None] + np.arange(cap)[None, :]
+    row_valid = np.arange(cap)[None, :] < sizes[ids][:, None]
+    pos = np.where(row_valid, pos, 0)
+    pair_idx = order[pos] if order is not None else pos
     pts = np.zeros((b, cap, 3), np.float32)
     valid = np.zeros((b, cap), bool)
-    for row, pid in enumerate(ids):
-        s, n = starts[pid], sizes[pid]
-        pts[row, :n] = colors_f32[s : s + n]
-        valid[row, :n] = True
-    return pts, valid
+    pts[:n_rows] = np.where(row_valid[..., None], colors_f32[pair_idx], 0.0)
+    valid[:n_rows] = row_valid
+    return pts, valid, pair_idx
 
 
 def tier1_colors(
@@ -175,6 +185,7 @@ def tier1_colors(
     *,
     seed: int = 42,
     weighted: bool = True,
+    mesh=None,
 ) -> np.ndarray:
     """Per-pixel tier-1 quantized colors for the whole image in one pass.
 
@@ -209,43 +220,47 @@ def tier1_colors(
     max_colors[max_colors == 0] = 1
 
     # ---- initial clustering: bucketed vmapped eps-CC (or k-means >= 10k) ----
-    cluster_of_pair = np.full(n_pairs, -1, np.int64)
-    next_cluster = 0
+    # Cluster identity is carried as provisional KEYS (disjoint per bucket
+    # row), compacted to dense ids with ONE global np.unique — the round-1
+    # per-segment np.unique loop is gone.
+    cluster_keys = np.full(n_pairs, -1, np.int64)
+    key_base = np.int64(0)
 
     big = np.flatnonzero(sizes >= cfg.KMEANS_SWITCH_COLORS)
     small_sizes = sizes.copy()
     small_sizes[big] = 0  # excluded from buckets
     for cap, ids in _bucketize(small_sizes, list(_BUCKETS)).items():
-        pts, valid = _gather_bucket(ids, starts, sizes, colors, cap)
+        pts, valid, pair_idx = _gather_bucket(ids, starts, sizes, colors, cap, mesh=mesh)
         eps_b = np.ones(len(pts), np.float32)
         eps_b[: len(ids)] = eps[ids]
         labels = np.asarray(
             _eps_components_batched(
-                jnp.asarray(pts),
-                jnp.asarray(eps_b),
-                jnp.asarray(valid),
+                SHARD.shard_rows(pts, mesh),
+                SHARD.shard_rows(eps_b, mesh),
+                SHARD.shard_rows(valid, mesh),
                 chunk=min(512, cap),
             )
         )
-        for row, pid in enumerate(ids):
-            s, n = starts[pid], sizes[pid]
-            lab = labels[row, :n]
-            uniq, inv = np.unique(lab, return_inverse=True)
-            cluster_of_pair[s : s + n] = next_cluster + inv
-            next_cluster += len(uniq)
+        # Row-local min-index labels -> globally unique keys.
+        row_valid = valid[: len(ids)]
+        keys = key_base + np.arange(len(ids), dtype=np.int64)[:, None] * (cap + 1) + labels[: len(ids)]
+        cluster_keys[pair_idx[row_valid]] = keys[row_valid]
+        key_base += np.int64(len(ids)) * (cap + 1)
 
     for pid in big:
         s, n = starts[pid], sizes[pid]
         k = cfg.kmeans_n_clusters(n, qualities[pid])
         lab = CL.kmeans_host(colors[s : s + n], k, seed=seed)
-        uniq, inv = np.unique(lab, return_inverse=True)
-        cluster_of_pair[s : s + n] = next_cluster + inv
-        next_cluster += len(uniq)
+        cluster_keys[s : s + n] = key_base + lab
+        key_base += np.int64(lab.max()) + 1
+
+    _, cluster_of_pair = np.unique(cluster_keys, return_inverse=True)
+    next_cluster = int(cluster_of_pair.max()) + 1
 
     # ---- level-synchronous oversized-cluster splitting ----
     pair_max_colors = np.repeat(max_colors, sizes)  # per pair, via run layout
     cluster_of_pair, next_cluster = _split_oversized_batched(
-        colors, cluster_of_pair, pair_max_colors, next_cluster, seed
+        colors, cluster_of_pair, pair_max_colors, next_cluster, seed, mesh=mesh
     )
 
     # ---- cluster mean colors (truncated uint8, clustering.py:305,347) ----
@@ -270,17 +285,162 @@ def tier1_colors(
     return out
 
 
-def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_cluster, seed):
+def cluster_color_maps_many(
+    colors_list: list,
+    sel_list: list,
+    quality_list: list,
+    *,
+    seed: int = 42,
+    weighted: bool = True,
+    mesh=None,
+) -> list:
+    """Batched tier-2/3 color-map clustering across MANY problems.
+
+    Each problem is (colors_rgb (h, w, 3) uint8, sel (h, w) bool, quality):
+    cluster the palette of colors_rgb[sel] with black pinned (never clustered,
+    counted in the n-colors law — clustering.py:188-199 / merging.py:42-44)
+    and return the per-pixel mapped colors, exactly like
+    codec._cluster_color_map but for all problems in ONE set of bucketed
+    device calls.  In encode_many this folds every image's tier-2 (or tier-3)
+    clustering into a single batch.
+
+    Returns a list of (n_sel_i, 3) uint8 arrays.
+    """
+    n_prob = len(colors_list)
+    assert len(sel_list) == n_prob and len(quality_list) == n_prob
+
+    # ---- pooled (problem, color) pair table --------------------------------
+    keys_parts = []
+    pixel_counts = []
+    for i in range(n_prob):
+        c = colors_list[i][sel_list[i]]
+        pixel_counts.append(len(c))
+        packed = (
+            (c[:, 0].astype(np.int64) << 16)
+            | (c[:, 1].astype(np.int64) << 8)
+            | c[:, 2].astype(np.int64)
+        )
+        keys_parts.append(np.int64(i) << 24 | packed)
+    if sum(pixel_counts) == 0:
+        return [np.zeros((0, 3), np.uint8) for _ in range(n_prob)]
+    keys = np.concatenate(keys_parts)
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    prob_of_pair = (uniq >> 24).astype(np.int32)
+    color_of_pair = (uniq & 0xFFFFFF).astype(np.int32)
+    colors = _unpack(color_of_pair).astype(np.float32)
+    n_pairs = len(uniq)
+
+    # Pair table is sorted by (problem, color): contiguous runs per problem.
+    prob_ids, starts, sizes = np.unique(
+        prob_of_pair, return_index=True, return_counts=True
+    )
+    # Laws (clustering_params): n counts black even when absent from the
+    # pixels (the canvas background black joins the merged palette,
+    # merging.py:42-44 — codec._cluster_color_map prepends it).
+    has_black = np.zeros(len(prob_ids), bool)
+    first_key = color_of_pair[starts]
+    has_black = first_key == 0  # sorted runs: black (0) is first if present
+    n_black_incl = sizes + (~has_black)
+    qualities = np.asarray([quality_list[p] for p in prob_ids], np.float64)
+    eps = 128.0 - 1.28 * qualities
+    eps[eps == 0] = 1.0
+    max_colors = np.ceil(
+        (n_black_incl - n_black_incl * qualities / 100.0) / qualities
+    ).astype(np.int64)
+    max_colors[max_colors == 0] = 1
+
+    # Black pairs are pinned: excluded from clustering, mapped to themselves.
+    is_black_pair = color_of_pair == 0
+    nb_sizes = sizes - has_black  # non-black run sizes (black sorts first)
+    nb_starts = starts + has_black
+
+    cluster_keys = np.full(n_pairs, -1, np.int64)
+    key_base = np.int64(0)
+
+    big = np.flatnonzero(nb_sizes >= cfg.KMEANS_SWITCH_COLORS)
+    small_sizes = nb_sizes.copy()
+    small_sizes[big] = 0
+    for cap, ids in _bucketize(small_sizes, list(_BUCKETS)).items():
+        pts, valid, pair_idx = _gather_bucket(
+            ids, nb_starts, nb_sizes, colors, cap, mesh=mesh
+        )
+        eps_b = np.ones(len(pts), np.float32)
+        eps_b[: len(ids)] = eps[ids]
+        labels = np.asarray(
+            _eps_components_batched(
+                SHARD.shard_rows(pts, mesh),
+                SHARD.shard_rows(eps_b, mesh),
+                SHARD.shard_rows(valid, mesh),
+                chunk=min(512, cap),
+            )
+        )
+        row_valid = valid[: len(ids)]
+        new_keys = (
+            key_base
+            + np.arange(len(ids), dtype=np.int64)[:, None] * (cap + 1)
+            + labels[: len(ids)]
+        )
+        cluster_keys[pair_idx[row_valid]] = new_keys[row_valid]
+        key_base += np.int64(len(ids)) * (cap + 1)
+
+    for row in big:
+        s, m = nb_starts[row], nb_sizes[row]
+        k = cfg.kmeans_n_clusters(int(m), qualities[row])
+        lab = CL.kmeans_host(colors[s : s + m], k, seed=seed)
+        cluster_keys[s : s + m] = key_base + lab
+        key_base += np.int64(lab.max()) + 1
+
+    # Every black pair is its own singleton cluster (pinned verbatim).
+    black_rows = np.flatnonzero(is_black_pair)
+    cluster_keys[black_rows] = key_base + np.arange(len(black_rows))
+
+    _, cluster_of_pair = np.unique(cluster_keys, return_inverse=True)
+    next_cluster = int(cluster_of_pair.max()) + 1
+
+    # Oversized splits (black singletons can never be oversized).
+    pair_limits = np.repeat(max_colors, sizes)
+    cluster_of_pair, next_cluster = _split_oversized_batched(
+        colors, cluster_of_pair, pair_limits, next_cluster, seed, mesh=mesh
+    )
+
+    # ---- cluster mean colors (truncated uint8, clustering.py:305,347) ------
+    if weighted:
+        w = np.bincount(inverse, minlength=n_pairs).astype(np.float64)
+    else:
+        w = np.ones(n_pairs, np.float64)
+    counts = np.bincount(cluster_of_pair, weights=w, minlength=next_cluster)
+    means = np.zeros((next_cluster, 3), np.float64)
+    for c in range(3):
+        means[:, c] = np.bincount(
+            cluster_of_pair, weights=colors[:, c] * w, minlength=next_cluster
+        )
+    means /= np.maximum(counts, 1.0)[:, None]
+    cluster_colors = means.astype(np.uint8)
+    # Pinned black stays exactly black regardless of weighting.
+    pair_colors = cluster_colors[cluster_of_pair]
+    pair_colors[black_rows] = 0
+
+    mapped = pair_colors[inverse]
+    out = []
+    off = 0
+    for i in range(n_prob):
+        out.append(mapped[off : off + pixel_counts[i]])
+        off += pixel_counts[i]
+    return out
+
+
+def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_cluster, seed, mesh=None):
     """Split clusters above their per-segment max size with batched k-means.
 
     Mirrors split_large_cluster recursion (clustering.py:720-775) but level-
     synchronously: each level gathers ALL oversized clusters image-wide,
-    buckets them by size, and runs one vmapped k-means per bucket.
+    buckets them by size, and runs one vmapped k-means per bucket.  All host
+    bookkeeping is vectorized (key assignment + one np.unique per level).
     """
     for _level in range(8):  # recursion depth bound (sizes shrink ~max/level)
         order = np.argsort(cluster_of_pair, kind="stable")
         sorted_cluster = cluster_of_pair[order]
-        uniq, starts, sizes = np.unique(
+        _, starts, sizes = np.unique(
             sorted_cluster, return_index=True, return_counts=True
         )
         limits = pair_max_colors[order[starts]]
@@ -293,6 +453,7 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
         lim = np.maximum(limits[oversized], 1)
         ks = np.minimum(np.maximum(2, -(-n // lim)), n)
 
+        key_base = np.int64(next_cluster)
         caps = [64, 256, 1024, 4096, 16384, 65536]
         # Clusters beyond the biggest bucket cap (a >65536-color palette in one
         # cluster) are split one-by-one with chunked device k-means — rare, but
@@ -302,26 +463,21 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
             cid = oversized[row]
             s, m = starts[cid], sizes[cid]
             lab = CL.kmeans_host(colors[order[s : s + m]], int(ks[row]), seed=seed)
-            uniq_l, inv = np.unique(lab, return_inverse=True)
-            cluster_of_pair[order[s : s + m]] = next_cluster + inv
-            next_cluster += len(uniq_l)
+            cluster_of_pair[order[s : s + m]] = key_base + lab
+            key_base += np.int64(lab.max()) + 1
         for cap, rows in _bucketize(sizes[oversized], caps).items():
             ids = oversized[rows]
-            b = _pad_batch(len(ids))
-            pts = np.zeros((b, cap, 3), np.float32)
-            valid = np.zeros((b, cap), bool)
-            for r, cid in enumerate(ids):
-                s, m = starts[cid], sizes[cid]
-                pts[r, :m] = colors[order[s : s + m]]
-                valid[r, :m] = True
+            pts, valid, pair_idx = _gather_bucket(
+                ids, starts, sizes, colors, cap, order=order, mesh=mesh
+            )
             k_max = _pad_kmax(int(ks[rows].max()))
-            ks_b = np.ones(b, np.int32)
+            ks_b = np.ones(len(pts), np.int32)
             ks_b[: len(ids)] = ks[rows]
             labels = np.asarray(
                 _kmeans_batched(
-                    jnp.asarray(pts),
-                    jnp.asarray(valid),
-                    jnp.asarray(ks_b),
+                    SHARD.shard_rows(pts, mesh),
+                    SHARD.shard_rows(valid, mesh),
+                    SHARD.shard_rows(ks_b, mesh),
                     k_max=int(k_max),
                     iters=25,
                     seed=seed,
@@ -329,11 +485,14 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
                     plusplus=k_max <= 256,
                 )
             )
-            for r, cid in enumerate(ids):
-                s, m = starts[cid], sizes[cid]
-                lab = labels[r, :m]
-                uniq_l, inv = np.unique(lab, return_inverse=True)
-                pair_idx = order[s : s + m]
-                cluster_of_pair[pair_idx] = next_cluster + inv
-                next_cluster += len(uniq_l)
+            row_valid = valid[: len(ids)]
+            keys = (
+                key_base
+                + np.arange(len(ids), dtype=np.int64)[:, None] * (k_max + 1)
+                + labels[: len(ids)]
+            )
+            cluster_of_pair[pair_idx[row_valid]] = keys[row_valid]
+            key_base += np.int64(len(ids)) * (k_max + 1)
+        _, cluster_of_pair = np.unique(cluster_of_pair, return_inverse=True)
+        next_cluster = int(cluster_of_pair.max()) + 1
     return cluster_of_pair, next_cluster

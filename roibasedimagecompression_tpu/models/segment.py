@@ -65,6 +65,62 @@ def reassign_small_roi(roi_regions: list, nonroi_regions: list, min_size: int):
     return big, nonroi_regions + small
 
 
+def fuse_adjacent_regions(regions: list, image_shape: tuple, kind: str) -> list:
+    """Merge same-kind regions that touch (8-connectivity).
+
+    fuse_adjacent_regions_optimized (encoder/ROI/roi.py:190-249): rasterize
+    every region onto a shared canvas and re-extract connected components —
+    regions whose masks are adjacent become one region.  Returns the input
+    list unchanged when nothing fuses (the reference's early-out at :215-217).
+    """
+    if len(regions) <= 1:
+        return regions
+    combined = np.zeros(image_shape[:2], bool)
+    for r in regions:
+        minr, minc, maxr, maxc = r.bbox
+        combined[minr:maxr, minc:maxc] |= r.bbox_mask
+    fused = extract_regions(combined, kind)
+    if len(fused) == len(regions):
+        return regions
+    return fused
+
+
+def process_regions_with_reassignment(
+    image_rgb: np.ndarray, roi_mask: np.ndarray, nonroi_mask: np.ndarray
+):
+    """Extract + bidirectionally reassign small regions + fuse adjacent ones.
+
+    process_regions_with_reassignment (encoder/ROI/roi.py:109-188): small ROI
+    regions become non-ROI AND small non-ROI regions become ROI (unlike the
+    main-path reassignment which only demotes ROI), then each kind is fused.
+    NOTE: this path's min size law counts PIXELS (roi.py:115-116), not h*w*3
+    elements like the main path.
+    """
+    h, w = image_rgb.shape[:2]
+    min_size = cfg.min_region_size(h * w)
+    roi_regions = extract_regions(roi_mask, "roi")
+    nonroi_regions = extract_regions(nonroi_mask, "nonroi")
+
+    new_roi = [r for r in roi_regions if r.area >= min_size]
+    new_nonroi = [
+        dataclasses.replace(r, kind="nonroi")
+        for r in roi_regions
+        if r.area < min_size
+    ]
+    new_nonroi += [r for r in nonroi_regions if r.area >= min_size]
+    new_roi += [
+        dataclasses.replace(r, kind="roi")
+        for r in nonroi_regions
+        if r.area < min_size
+    ]
+
+    if len(new_roi) > 1:
+        new_roi = fuse_adjacent_regions(new_roi, image_rgb.shape, "roi")
+    if len(new_nonroi) > 1:
+        new_nonroi = fuse_adjacent_regions(new_nonroi, image_rgb.shape, "nonroi")
+    return new_roi, new_nonroi
+
+
 def _pow2_bucket(n: int, minimum: int = 64) -> int:
     b = minimum
     while b < n:
@@ -129,26 +185,85 @@ def _split_score_jit(rgb: jnp.ndarray, mask: jnp.ndarray):
     return overall, color_score, texture_score, count
 
 
+@jax.jit
+def _split_score_batch(rgbs: jnp.ndarray, masks: jnp.ndarray):
+    return jax.vmap(_split_score_jit)(rgbs, masks)
+
+
+def _pad_batch(b: int) -> int:
+    """Power-of-four batch padding, minimum 4 (bounds compiled shapes)."""
+    p = 4
+    while p < b:
+        p *= 4
+    return p
+
+
+def split_scores_many(crops: list, masks: list, mesh=None) -> list:
+    """Batched split scores: one vmapped device call per shape bucket.
+
+    Returns a list of (overall, color, texture) tuples; tiny regions
+    (<100 px) score 0 (split_score.py:20-23 early-out).
+    """
+    n = len(crops)
+    out: list = [None] * n
+    # Orientation canonicalization (EXACT: every split-score statistic is
+    # transpose-invariant — masked moments/histograms, isotropic Sobel
+    # magnitudes, rotation-invariant-uniform LBP codes) halves the number of
+    # compiled shape buckets.
+    canon = []
+    buckets: dict = {}
+    for i in range(n):
+        c, m = crops[i], masks[i]
+        if m.shape[1] > m.shape[0]:
+            c = np.ascontiguousarray(np.transpose(c, (1, 0, 2)))
+            m = m.T
+        canon.append((c, m))
+        h, w = m.shape
+        buckets.setdefault((_pow2_bucket(h), _pow2_bucket(w)), []).append(i)
+    from roibasedimagecompression_tpu.parallel import shard as SHARD
+
+    for (ph, pw), ids in buckets.items():
+        bsz = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
+        rgb_b = np.zeros((bsz, ph, pw, 3), np.uint8)
+        mask_b = np.zeros((bsz, ph, pw), bool)
+        for row, i in enumerate(ids):
+            c, m = canon[i]
+            h, w = m.shape
+            rgb_b[row, :h, :w] = c
+            mask_b[row, :h, :w] = m
+        overall, color, texture, count = (
+            np.asarray(x)
+            for x in _split_score_batch(
+                SHARD.shard_rows(rgb_b, mesh), SHARD.shard_rows(mask_b, mesh)
+            )
+        )
+        for row, i in enumerate(ids):
+            if count[row] < 100:
+                out[i] = (0.0, 0.0, 0.0)
+            else:
+                out[i] = (float(overall[row]), float(color[row]), float(texture[row]))
+    return out
+
+
 def split_score(bbox_rgb: np.ndarray, bbox_mask: np.ndarray):
     """(overall, color, texture) for a region crop; tiny regions score 0."""
-    h, w = bbox_mask.shape
-    ph, pw = _pow2_bucket(h), _pow2_bucket(w)
-    rgb = np.zeros((ph, pw, 3), np.uint8)
-    rgb[:h, :w] = bbox_rgb
-    m = np.zeros((ph, pw), bool)
-    m[:h, :w] = bbox_mask
-    overall, color, texture, count = _split_score_jit(jnp.asarray(rgb), jnp.asarray(m))
-    if int(count) < 100:
-        return 0.0, 0.0, 0.0
-    return float(overall), float(color), float(texture)
+    return split_scores_many([bbox_rgb], [bbox_mask])[0]
+
+
+def optimal_segments_many(crops: list, masks: list, mesh=None) -> list:
+    """Batched split score -> SLIC segment counts via the logistic window law
+    (encoder/compression/subregions.py:133-138)."""
+    scores = split_scores_many(crops, masks, mesh=mesh)
+    return [
+        cfg.logistic_segments(scores[i][0], cfg.segment_window(crops[i].size))
+        for i in range(len(crops))
+    ]
 
 
 def optimal_segments(bbox_rgb: np.ndarray, bbox_mask: np.ndarray) -> int:
     """Split score -> SLIC segment count via the logistic window law
     (encoder/compression/subregions.py:133-138)."""
-    overall, _, _ = split_score(bbox_rgb, bbox_mask)
-    window = cfg.segment_window(bbox_rgb.size)
-    return cfg.logistic_segments(overall, window)
+    return optimal_segments_many([bbox_rgb], [bbox_mask])[0]
 
 
 def _resize_uint8(img: np.ndarray, shape: tuple) -> np.ndarray:
@@ -175,6 +290,67 @@ def _resize_nearest(arr: np.ndarray, shape: tuple) -> np.ndarray:
     return arr[rows][:, cols]
 
 
+def region_segments_many(
+    crops: list,
+    masks: list,
+    n_segments: list,
+    compactness: float = 10.0,
+    sigma: float = 1.0,
+    mesh=None,
+) -> list:
+    """Batched SLIC at <= 500 px working resolution, labels upsampled back
+    (enhanced_slic_with_texture, slic.py:41-104).
+
+    The working-resolution resize is host-side (small pixel counts, unbounded
+    geometry variety); the SLIC kernel itself runs in shape-bucketed vmapped
+    batches — one device call per bucket instead of one per region.
+
+    Returns a list of (bh_i, bw_i) int32 label maps, 0 outside mask.
+    """
+    n = len(crops)
+    work_imgs: list = [None] * n
+    work_masks: list = [None] * n
+    work_n: list = [0] * n
+    scaled = [False] * n
+    out: list = [None] * n
+    run_ids = []
+    for i in range(n):
+        h, w = masks[i].shape
+        scale = cfg.slic_scale_factor(max(crops[i].shape))
+        if scale < 1.0:
+            nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
+            small_mask = _resize_nearest(masks[i], (nh, nw))
+            if not small_mask.any():
+                out[i] = np.zeros((h, w), np.int32)
+                continue
+            work_imgs[i] = _resize_uint8(crops[i], (nh, nw))
+            work_masks[i] = small_mask
+            work_n[i] = max(1, math.ceil(n_segments[i] * scale * scale))
+            scaled[i] = True
+        else:
+            work_imgs[i] = crops[i]
+            work_masks[i] = masks[i]
+            work_n[i] = n_segments[i]
+        run_ids.append(i)
+
+    labels_small = SLIC.slic_many(
+        [work_imgs[i] for i in run_ids],
+        [work_masks[i] for i in run_ids],
+        [work_n[i] for i in run_ids],
+        compactness=compactness,
+        sigma=sigma,
+        mesh=mesh,
+    )
+    for pos, i in enumerate(run_ids):
+        lab = labels_small[pos]
+        if scaled[i]:
+            lab = _resize_nearest(lab, masks[i].shape).astype(np.int32)
+            # Upsampled labels can leak outside the full-res mask; clamp.
+            lab[~masks[i]] = 0
+        out[i] = lab
+    return out
+
+
 def region_segments(
     bbox_rgb: np.ndarray,
     bbox_mask: np.ndarray,
@@ -182,26 +358,8 @@ def region_segments(
     compactness: float = 10.0,
     sigma: float = 1.0,
 ) -> np.ndarray:
-    """SLIC at <= 500 px working resolution, labels upsampled back
-    (enhanced_slic_with_texture, slic.py:41-104).
-
-    Returns (bh, bw) int32 labels, 0 outside mask.
-    """
-    h, w = bbox_mask.shape
-    scale = cfg.slic_scale_factor(max(bbox_rgb.shape))
-    if scale < 1.0:
-        nh, nw = int(h * scale), int(w * scale)
-        nh, nw = max(nh, 1), max(nw, 1)
-        small_img = _resize_uint8(bbox_rgb, (nh, nw))
-        small_mask = _resize_nearest(bbox_mask, (nh, nw))
-        n_scaled = max(1, math.ceil(n_segments * scale * scale))
-        if not small_mask.any():
-            return np.zeros((h, w), np.int32)
-        small_labels = SLIC.slic(
-            small_img, small_mask, n_scaled, compactness=compactness, sigma=sigma
-        )
-        labels = _resize_nearest(small_labels, (h, w)).astype(np.int32)
-        # Upsampled labels can leak outside the full-res mask; clamp.
-        labels[~bbox_mask] = 0
-        return labels
-    return SLIC.slic(bbox_rgb, bbox_mask, n_segments, compactness=compactness, sigma=sigma)
+    """Single-region SLIC (see region_segments_many)."""
+    return region_segments_many(
+        [bbox_rgb], [bbox_mask], [n_segments],
+        compactness=compactness, sigma=sigma,
+    )[0]

@@ -8,6 +8,12 @@ assignment here is one dense (pixels x centers) distance computed in MXU matmul
 form — center counts in this codec are small (<= ~100, the split-score window
 law), so dense assignment is both simpler and faster on TPU.
 
+The device core (`_slic_core`) fuses LAB conversion, Gaussian blur, center
+initialization (gather at grid coordinates) and the Lloyd loop into ONE jitted
+graph, so a region costs a single host->device round trip.  `slic_many` vmaps
+that core over shape-bucketed batches of regions — the encode pipeline's
+per-region loop collapses to one device call per bucket.
+
 Output convention matches masked skimage slic: labels are 1..n inside the mask,
 0 outside.
 """
@@ -23,49 +29,93 @@ import numpy as np
 from roibasedimagecompression_tpu.ops import cc as CC
 from roibasedimagecompression_tpu.ops import colors as COL
 from roibasedimagecompression_tpu.ops import conv as CONV
+from roibasedimagecompression_tpu.parallel import shard as SHARD
 
 
-@functools.partial(jax.jit, static_argnames=("n_centers", "iters"))
-def _slic_assign(
-    lab: jnp.ndarray,
+@functools.partial(
+    jax.jit, static_argnames=("n_centers", "iters", "compactness", "sigma", "chunk")
+)
+def _slic_core(
+    rgb_u8: jnp.ndarray,
     mask: jnp.ndarray,
-    init_centers: jnp.ndarray,
+    centers_yx: jnp.ndarray,
+    center_valid: jnp.ndarray,
     step: jnp.ndarray,
-    compactness: float,
+    *,
     n_centers: int,
     iters: int = 10,
+    compactness: float = 10.0,
+    sigma: float = 1.0,
+    chunk: int = 16384,
 ) -> jnp.ndarray:
-    """Lloyd iterations over 5-D features; returns (h, w) int32 center ids
-    (0..n_centers-1) inside mask, -1 outside."""
-    h, w, _ = lab.shape
+    """Fused SLIC region kernel: uint8 RGB in, center ids out.
+
+    LAB + blur + center gather + Lloyd run in one graph; assignment is chunked
+    over pixels so the (pixels x centers) distance tile stays small enough to
+    vmap whole batches of regions.
+
+    Args:
+      rgb_u8: (h, w, 3) uint8 (mask-padded region crop).
+      mask: (h, w) bool.
+      centers_yx: (n_centers, 2) int32 grid-initialized coordinates.
+      center_valid: (n_centers,) bool — padding rows False.
+      step: scalar f32 SLIC grid spacing S (D^2 = dc^2 + (m/S)^2 ds^2).
+    Returns:
+      (h, w) int32 center ids (0..n_centers-1) inside mask, -1 outside.
+    """
+    h, w, _ = rgb_u8.shape
+    lab = COL.rgb_to_lab(rgb_u8)
+    if sigma > 0:
+        lab = CONV.gaussian_blur(lab, sigma)
+
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    # Classic SLIC distance: D^2 = dc^2 + (m/S)^2 * ds^2  (argmin-equivalent
-    # to skimage's 1/m color scaling).
-    ratio = compactness / step
+    ratio = (compactness / step).astype(jnp.float32)
     feats = jnp.concatenate(
-        [
-            lab.astype(jnp.float32),
-            (yy * ratio)[..., None],
-            (xx * ratio)[..., None],
-        ],
-        axis=-1,
+        [lab, (yy * ratio)[..., None], (xx * ratio)[..., None]], axis=-1
     ).reshape(-1, 5)
     valid = mask.reshape(-1)
 
-    def lloyd(_, centers):
-        d2 = (
-            jnp.sum(feats * feats, axis=1, keepdims=True)
-            + jnp.sum(centers * centers, axis=1)[None, :]
-            - 2.0
-            * jax.lax.dot_general(
-                feats, centers,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+    # Center init on device: LAB gathered at the (few) grid coordinates.
+    c_lab = lab[centers_yx[:, 0], centers_yx[:, 1]]
+    init_centers = jnp.concatenate(
+        [c_lab, centers_yx.astype(jnp.float32) * ratio], axis=1
+    )
+    init_centers = jnp.where(center_valid[:, None], init_centers, 1e6)
+
+    m = feats.shape[0]
+    chunk = min(chunk, m)
+    pad = (-m) % chunk
+    if pad:
+        feats = jnp.pad(feats, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    mp = feats.shape[0]
+    big = jnp.float32(3.4e38)
+
+    def assign(centers):
+        c2 = jnp.sum(centers * centers, axis=1)
+
+        def one_chunk(start):
+            rows = jax.lax.dynamic_slice_in_dim(feats, start, chunk)
+            d2 = (
+                jnp.sum(rows * rows, axis=1, keepdims=True)
+                + c2[None, :]
+                - 2.0
+                * jax.lax.dot_general(
+                    rows, centers,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             )
-        )
-        assign = jnp.argmin(d2, axis=1).astype(jnp.int32)
-        seg = jnp.where(valid, assign, n_centers)
+            d2 = jnp.where(center_valid[None, :], d2, big)
+            return jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+        starts = jnp.arange(0, mp, chunk)
+        return jax.lax.map(one_chunk, starts).reshape(mp)
+
+    def lloyd(_, centers):
+        assign_ids = assign(centers)
+        seg = jnp.where(valid, assign_ids, n_centers)
         sums = jax.ops.segment_sum(
             jnp.where(valid[:, None], feats, 0.0), seg, num_segments=n_centers + 1
         )[:n_centers]
@@ -76,18 +126,37 @@ def _slic_assign(
         return jnp.where(counts[:, None] > 0, new, centers)
 
     centers = jax.lax.fori_loop(0, iters, lloyd, init_centers)
-    d2 = (
-        jnp.sum(feats * feats, axis=1, keepdims=True)
-        + jnp.sum(centers * centers, axis=1)[None, :]
-        - 2.0
-        * jax.lax.dot_general(
-            feats, centers,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    out = assign(centers)[: h * w]
+    return jnp.where(mask.reshape(-1), out, -1).reshape(h, w)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_centers", "iters", "compactness", "sigma", "chunk")
+)
+def _slic_core_batch(
+    rgb_u8, mask, centers_yx, center_valid, step,
+    *, n_centers, iters, compactness, sigma, chunk,
+):
+    return jax.vmap(
+        lambda im, mk, cyx, cv, st: _slic_core(
+            im, mk, cyx, cv, st,
+            n_centers=n_centers, iters=iters, compactness=compactness,
+            sigma=sigma, chunk=chunk,
         )
-    )
-    assign = jnp.argmin(d2, axis=1).astype(jnp.int32)
-    return jnp.where(valid, assign, -1).reshape(h, w)
+    )(rgb_u8, mask, centers_yx, center_valid, step)
+
+
+@jax.jit
+def _fragments_batch(values, masks):
+    """Connected fragments of equal-label runs for a batch of label maps."""
+    return jax.vmap(
+        lambda v, m: CC.propagate_equal_labels(v, m, connectivity=4)
+    )(values, masks)
+
+
+@jax.jit
+def _adopt_batch(labels, keeps, masks):
+    return jax.vmap(CC.adopt_labels)(labels, keeps, masks)
 
 
 def _pow2(n: int, minimum: int = 32) -> int:
@@ -97,46 +166,21 @@ def _pow2(n: int, minimum: int = 32) -> int:
     return b
 
 
-def slic(
-    image_rgb: np.ndarray,
-    mask: np.ndarray,
-    n_segments: int,
-    compactness: float = 10.0,
-    sigma: float = 1.0,
-    iters: int = 10,
-    enforce_connectivity: bool = True,
-    min_size_factor: float = 0.5,
-) -> np.ndarray:
-    """Masked SLIC: (h, w, 3) uint8 + (h, w) bool -> (h, w) int32 labels
-    (0 = outside mask, 1..n inside).
+def _pad_batch(b: int) -> int:
+    """Round batch counts up to powers of four, minimum 4 (bounds compiled
+    shapes; remote TPU compiles cost minutes, padded rows cost microseconds)."""
+    p = 4
+    while p < b:
+        p *= 4
+    return p
 
-    Shapes are padded to power-of-two buckets (mask-padded, centers padded
-    with unreachable sentinels) so the assignment kernel compiles once per
-    bucket instead of once per region geometry.
-    """
-    mask = np.asarray(mask, bool)
-    h0, w0 = mask.shape
-    ph, pw = _pow2(h0), _pow2(w0)
-    if (ph, pw) != (h0, w0):
-        img_p = np.zeros((ph, pw, 3), np.uint8)
-        img_p[:h0, :w0] = image_rgb
-        mask_p = np.zeros((ph, pw), bool)
-        mask_p[:h0, :w0] = mask
-        return slic(
-            img_p, mask_p, n_segments, compactness, sigma, iters,
-            enforce_connectivity, min_size_factor,
-        )[:h0, :w0]
+
+def _prepare_centers(mask: np.ndarray, n_segments: int):
+    """Host center initialization: grid at spacing S = sqrt(area/n), snapped
+    into the mask.  Pure mask geometry — no image data needed."""
     h, w = mask.shape
     area = int(mask.sum())
-    if area == 0:
-        return np.zeros((h, w), np.int32)
     n_segments = max(1, int(n_segments))
-
-    lab = COL.rgb_to_lab(jnp.asarray(image_rgb))
-    if sigma > 0:
-        lab = CONV.gaussian_blur(lab, sigma)
-
-    # Grid initialization at spacing S = sqrt(area / n), snapped into the mask.
     step = float(np.sqrt(area / n_segments))
     ys = np.arange(step / 2, h, step)
     xs = np.arange(step / 2, w, step)
@@ -156,71 +200,181 @@ def slic(
         # Keep a uniform subsample to hit the requested count.
         take = np.linspace(0, len(centers_yx) - 1, n_segments).astype(np.int64)
         centers_yx = centers_yx[np.unique(take)]
-    n_centers = len(centers_yx)
+    return centers_yx.astype(np.int32), step
 
-    lab_np = np.asarray(lab)
-    ratio = compactness / step
-    init_centers = np.concatenate(
-        [
-            lab_np[centers_yx[:, 0], centers_yx[:, 1]],
-            centers_yx.astype(np.float32) * ratio,
-        ],
-        axis=1,
-    ).astype(np.float32)
 
-    # Pad the center count to a power of two with unreachable sentinels so the
-    # assignment kernel compiles per bucket, not per center count.
-    n_pad = _pow2(n_centers, minimum=4)
-    if n_pad != n_centers:
-        sentinels = np.full((n_pad - n_centers, 5), 1e6, np.float32)
-        init_centers = np.vstack([init_centers, sentinels])
-
-    assign = _slic_assign(
-        lab,
-        jnp.asarray(mask),
-        jnp.asarray(init_centers),
-        jnp.float32(step),
-        float(compactness),
-        n_pad,
-        iters,
-    )
-    labels = np.asarray(assign)
-
-    if enforce_connectivity and n_centers > 1:
-        labels = _enforce_connectivity(
-            labels, mask, min_size=max(1, int(min_size_factor * area / n_centers))
-        )
-
-    # Compact to 1..n inside mask.
-    out = np.zeros((h, w), np.int32)
+def _compact_labels(labels: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Relabel to 1..n inside the mask, 0 outside."""
+    out = np.zeros(labels.shape, np.int32)
     vals = labels[mask]
-    uniq, inv = np.unique(vals, return_inverse=True)
+    if vals.size == 0:
+        return out
+    _, inv = np.unique(vals, return_inverse=True)
     out[mask] = inv.astype(np.int32) + 1
     return out
 
 
-def _enforce_connectivity(labels: np.ndarray, mask: np.ndarray, min_size: int) -> np.ndarray:
-    """Split segments into connected fragments; absorb small ones into
-    neighbors (skimage _enforce_label_connectivity_cython behavior)."""
-    frag = np.asarray(
-        CC.propagate_equal_labels(jnp.asarray(labels), jnp.asarray(mask), connectivity=4)
+def slic(
+    image_rgb: np.ndarray,
+    mask: np.ndarray,
+    n_segments: int,
+    compactness: float = 10.0,
+    sigma: float = 1.0,
+    iters: int = 10,
+    enforce_connectivity: bool = True,
+    min_size_factor: float = 0.5,
+) -> np.ndarray:
+    """Masked SLIC: (h, w, 3) uint8 + (h, w) bool -> (h, w) int32 labels
+    (0 = outside mask, 1..n inside).
+
+    Single-region convenience wrapper over the batched path.
+    """
+    return slic_many(
+        [image_rgb], [mask], [n_segments],
+        compactness=compactness, sigma=sigma, iters=iters,
+        enforce_connectivity=enforce_connectivity,
+        min_size_factor=min_size_factor,
+    )[0]
+
+
+def slic_many(
+    images: list,
+    masks: list,
+    n_segments: list,
+    compactness: float = 10.0,
+    sigma: float = 1.0,
+    iters: int = 10,
+    enforce_connectivity: bool = True,
+    min_size_factor: float = 0.5,
+    mesh=None,
+) -> list:
+    """Batched masked SLIC over many regions.
+
+    Regions are grouped by power-of-two padded shape; each bucket runs ONE
+    vmapped fused kernel call (and, with connectivity enforcement, one
+    fragment-labeling call + one adoption call).  Replaces the reference's
+    region-by-region skimage.slic loop (encoder/compression/subregions.py:98)
+    with O(buckets) device dispatches.
+
+    Returns a list of (h_i, w_i) int32 label maps (0 outside mask, 1..n in).
+    """
+    n = len(images)
+    out: list = [None] * n
+
+    # Orientation canonicalization: landscape regions are transposed to
+    # portrait before bucketing (EXACT — the 5-D distance, Lloyd updates,
+    # connectivity and adoption are all coordinate-order invariant), halving
+    # the number of compiled shape buckets.  k_max is FIXED at 256 (the
+    # logistic window law keeps real center counts <= ~150 even at 22 MP), so
+    # the kernel never recompiles over center-count variation.
+    k_max = 256
+    buckets: dict = {}
+    metas: dict = {}
+    for i in range(n):
+        mask = np.asarray(masks[i], bool)
+        img = images[i]
+        transposed = mask.shape[1] > mask.shape[0]
+        if transposed:
+            mask = mask.T
+            img = np.ascontiguousarray(np.transpose(img, (1, 0, 2)))
+        h0, w0 = mask.shape
+        area = int(mask.sum())
+        if area == 0:
+            out[i] = np.zeros(np.asarray(masks[i], bool).shape, np.int32)
+            continue
+        centers_yx, step = _prepare_centers(mask, n_segments[i])
+        if len(centers_yx) > k_max:
+            raise ValueError(f"SLIC center count {len(centers_yx)} exceeds {k_max}")
+        metas[i] = (mask, img, centers_yx, step, area, transposed)
+        key = (_pow2(h0, minimum=64), _pow2(w0, minimum=64))
+        buckets.setdefault(key, []).append(i)
+
+    for (ph, pw), ids in buckets.items():
+        bsz = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
+        imgs_b = np.zeros((bsz, ph, pw, 3), np.uint8)
+        masks_b = np.zeros((bsz, ph, pw), bool)
+        cyx_b = np.zeros((bsz, k_max, 2), np.int32)
+        cval_b = np.zeros((bsz, k_max), bool)
+        steps_b = np.ones(bsz, np.float32)
+        for row, i in enumerate(ids):
+            mask, img, centers_yx, step, _, _ = metas[i]
+            h0, w0 = mask.shape
+            imgs_b[row, :h0, :w0] = img
+            masks_b[row, :h0, :w0] = mask
+            k = len(centers_yx)
+            cyx_b[row, :k] = centers_yx
+            cval_b[row, :k] = True
+            steps_b[row] = step
+
+        assign_b = np.asarray(
+            _slic_core_batch(
+                SHARD.shard_rows(imgs_b, mesh),
+                SHARD.shard_rows(masks_b, mesh),
+                SHARD.shard_rows(cyx_b, mesh),
+                SHARD.shard_rows(cval_b, mesh),
+                SHARD.shard_rows(steps_b, mesh),
+                n_centers=k_max,
+                iters=iters,
+                compactness=float(compactness),
+                sigma=float(sigma),
+                chunk=min(16384, ph * pw),
+            )
+        )
+
+        if enforce_connectivity:
+            labels_rows = _enforce_connectivity_bucket(
+                assign_b, masks_b, ids, metas, min_size_factor, mesh
+            )
+        else:
+            labels_rows = [assign_b[row] for row in range(len(ids))]
+
+        for row, i in enumerate(ids):
+            mask, _, centers_yx, _, _, transposed = metas[i]
+            h0, w0 = mask.shape
+            if len(centers_yx) > 1 or not enforce_connectivity:
+                lab = labels_rows[row][:h0, :w0]
+            else:
+                lab = assign_b[row, :h0, :w0]
+            compacted = _compact_labels(lab, mask)
+            out[i] = compacted.T.copy() if transposed else compacted
+    return out
+
+
+def _enforce_connectivity_bucket(assign_b, masks_b, ids, metas, min_size_factor, mesh=None):
+    """Batched connectivity enforcement: split segments into connected
+    fragments, absorb small ones into neighbors (skimage
+    _enforce_label_connectivity_cython behavior).
+
+    One fragment-labeling device call + one adoption call for the bucket; the
+    keep/compact bookkeeping in between is cheap host numpy.
+    """
+    b = len(ids)
+    frag_b = np.asarray(
+        _fragments_batch(SHARD.shard_rows(assign_b, mesh), SHARD.shard_rows(masks_b, mesh))
     )
-    fg = mask
-    vals = frag[fg]
-    uniq, inv = np.unique(vals, return_inverse=True)
-    sizes = np.bincount(inv)
-    compact = np.zeros(labels.shape, np.int64)
-    compact[fg] = inv
-    keep_frag = sizes >= min_size
-    if not keep_frag.any():
-        keep_frag[np.argmax(sizes)] = True
-    keep = np.zeros(labels.shape, bool)
-    keep[fg] = keep_frag[inv]
-    adopted = np.asarray(
-        CC.adopt_labels(
-            jnp.asarray(compact.astype(np.int32)),
-            jnp.asarray(keep),
-            jnp.asarray(mask),
+
+    compact_b = np.zeros(assign_b.shape, np.int32)
+    keep_b = np.zeros(assign_b.shape, bool)
+    for row, i in enumerate(ids):
+        mask, _, centers_yx, _, area, _ = metas[i]
+        h0, w0 = mask.shape
+        min_size = max(1, int(min_size_factor * area / len(centers_yx)))
+        fg = np.zeros(masks_b.shape[1:], bool)
+        fg[:h0, :w0] = mask
+        vals = frag_b[row][fg]
+        _, inv = np.unique(vals, return_inverse=True)
+        sizes = np.bincount(inv)
+        keep_frag = sizes >= min_size
+        if not keep_frag.any():
+            keep_frag[np.argmax(sizes)] = True
+        compact_b[row][fg] = inv
+        keep_b[row][fg] = keep_frag[inv]
+
+    adopted_b = np.asarray(
+        _adopt_batch(
+            SHARD.shard_rows(compact_b, mesh),
+            SHARD.shard_rows(keep_b, mesh),
+            SHARD.shard_rows(masks_b, mesh),
         )
     )
-    return adopted
+    return [adopted_b[row] for row in range(b)]

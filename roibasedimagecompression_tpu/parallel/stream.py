@@ -82,20 +82,24 @@ def encode_many(
             roi_masks = np.stack([m[0] for m in masks])
             nonroi_masks = np.stack([m[1] for m in masks])
 
-    # 2. Per-image segmentation -> one stacked tall segment map.
+    # 2. Batched segmentation -> one stacked tall segment map.  All regions
+    #    of all images pool into the same shape-bucketed split-score / SLIC
+    #    device batches (build_segment_maps_many).
+    regions_per_image = []
+    for k in range(b):
+        regions_per_image.append(
+            CODEC._extract_and_assign(
+                batch[k], roi_masks[k], nonroi_masks[k], config, min_size
+            )
+        )
+    seg_results = CODEC.build_segment_maps_many(
+        [batch[k] for k in range(b)], regions_per_image, config, mesh=mesh
+    )
     seg_maps = []
     qualities = [np.zeros(1)]
     groups_list = [np.zeros(1, np.int32)]
     next_id = 0
-    for k in range(b):
-        roi_regions = SEG.extract_regions(roi_masks[k], "roi")
-        nonroi_regions = SEG.extract_regions(nonroi_masks[k], "nonroi")
-        roi_regions, nonroi_regions = SEG.reassign_small_roi(
-            roi_regions, nonroi_regions, min_size
-        )
-        seg_map, seg_q, seg_g = CODEC.build_segment_map(
-            batch[k], roi_regions, nonroi_regions, config
-        )
+    for seg_map, seg_q, seg_g in seg_results:
         shifted = np.where(seg_map > 0, seg_map + next_id, 0)
         seg_maps.append(shifted)
         qualities.append(seg_q[1:])
@@ -110,36 +114,31 @@ def encode_many(
     # 3. ONE tier-1 pass across every segment of every image.
     t1_tall = QB.tier1_colors(
         tall_img, tall_seg, seg_quality, seed=config.seed,
-        weighted=config.weighted_palette,
+        weighted=config.weighted_palette, mesh=mesh,
     )
 
-    # 4. Per-image tiers 2/3 + container packing (zlib off the critical path).
+    # 4. Tiers 2/3 for ALL images in two batched clustering calls.
+    t1_list = [t1_tall[k * h : (k + 1) * h] for k in range(b)]
+    group_maps = [
+        np.where(
+            tall_seg[k * h : (k + 1) * h] > 0,
+            seg_group[tall_seg[k * h : (k + 1) * h]],
+            0,
+        )
+        for k in range(b)
+    ]
+    _, t3_list = CODEC.tiers23_colors_many(t1_list, group_maps, config, mesh=mesh)
+
+    # 5. Container packing: host DEFLATE parallelized in a thread pool (zlib
+    #    releases the GIL; device work is already done at this point).
     def finish(k: int) -> bytes:
-        t1 = t1_tall[k * h : (k + 1) * h]
-        seg_map = tall_seg[k * h : (k + 1) * h]
-        group_map = np.where(seg_map > 0, seg_group[seg_map], 0)
-        t2 = np.zeros_like(t1)
-        for g, q2 in ((1, config.roi_tier2_quality), (2, config.nonroi_tier2_quality)):
-            sel = group_map == g
-            if sel.any():
-                t2[sel] = CODEC._cluster_color_map(
-                    t1, sel, q2, config.seed, config.weighted_palette
-                )
-        sel = group_map > 0
-        t3 = np.zeros_like(t2)
-        if sel.any():
-            t3[sel] = CODEC._cluster_color_map(
-                t2, sel, config.image_quality, config.seed, config.weighted_palette
-            )
         from roibasedimagecompression_tpu.ops import unique as U
 
-        palette, indices = U.unique_colors(t3.reshape(-1, 3))
+        palette, indices = U.unique_colors(t3_list[k].reshape(-1, 3))
         return container.pack(palette, indices.reshape(h, w))
 
-    # Tier-2/3 clustering shares the device; run serially but pack containers
-    # in a thread pool so DEFLATE overlaps the next image's clustering.
     results: list = [None] * b
-    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
         futures = {pool.submit(finish, k): k for k in range(b)}
         for fut in concurrent.futures.as_completed(futures):
             results[futures[fut]] = fut.result()
