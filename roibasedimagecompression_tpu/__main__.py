@@ -63,13 +63,15 @@ def _cmd_eval(args):
     res = harness.evaluate_pair(args.original, args.compressed)
     out = res.as_dict()
     if args.adaptive:
-        from roibasedimagecompression_tpu.eval.adaptive import adaptive_quality_metrics
+        from roibasedimagecompression_tpu.eval import adaptive as A
         from roibasedimagecompression_tpu.io import container, image_io
 
-        out["adaptive"] = adaptive_quality_metrics(
-            image_io.imread_rgb(args.original),
-            container.decode_file(args.compressed),
+        orig = image_io.imread_rgb(args.original)
+        metrics = A.adaptive_quality_metrics(
+            orig, container.decode_file(args.compressed)
         )
+        out["adaptive"] = metrics
+        print(A.format_adaptive_report(metrics, orig.shape), file=sys.stderr)
     print(json.dumps(out, indent=2, default=float))
 
 
@@ -97,6 +99,15 @@ def _cmd_compare(args):
     if args.html:
         report.html_report([row], args.html)
         print(f"wrote {args.html}")
+    if args.panels:
+        from roibasedimagecompression_tpu.io import container, image_io
+
+        report.comparison_figure(
+            image_io.imread_rgb(args.original),
+            container.decode_file(args.compressed),
+            args.panels,
+        )
+        print(f"wrote {args.panels}")
 
 
 def main(argv=None):
@@ -135,6 +146,7 @@ def main(argv=None):
     p.add_argument("--jpeg")
     p.add_argument("--jpeg-quality", type=int, default=85)
     p.add_argument("--html")
+    p.add_argument("--panels", help="write the 12-panel comparison figure PNG")
     p.set_defaults(fn=_cmd_compare)
 
     args = parser.parse_args(argv)

@@ -168,6 +168,12 @@ class CodecConfig:
     # reference ships this as an alternative to plain extract_regions and
     # does not wire it into its main encode driver — off by default here too.
     region_fusion: bool = False
+    # Black-hole filling before tier-3 clustering: black connected regions of
+    # size <= this get their neighbors' most common color
+    # (fill_black_holes_vectorized, encoder/compression/image.py:133-240).
+    # 0 disables — matching the reference, whose call is commented out at
+    # image.py:259 (it used max_hole_size=50 when enabled).
+    fill_black_holes: int = 0
 
     @property
     def roi_tier2_quality(self) -> float:

@@ -112,3 +112,78 @@ def adaptive_quality_metrics(original: np.ndarray, reconstructed: np.ndarray) ->
     hist, edges = np.histogram(max_err, bins=50)
     out["error_histogram"] = {"bins": hist.tolist(), "bin_edges": edges.tolist()}
     return out
+
+
+def format_adaptive_report(metrics: dict, original_shape: tuple) -> str:
+    """Human-readable adaptive-metrics report (print_adaptive_metrics,
+    decoder/uncompression/comparison.py:538-605)."""
+    h, w = original_shape[:2]
+    lines = []
+    add = lines.append
+    add("=" * 70)
+    add("ADAPTIVE QUALITY METRICS WITH OUTLIER DETECTION")
+    add("=" * 70)
+
+    ed = metrics["error_distribution"]
+    add("")
+    add("ERROR DISTRIBUTION ANALYSIS:")
+    add(f"   Total pixels: {h * w:,}")
+    add(f"   Min error:    {ed['min']:8.2f}")
+    add(f"   Max error:    {ed['max']:8.2f}  <- LIKELY OUTLIERS")
+    add(f"   Mean error:   {ed['mean']:8.2f}")
+    add(f"   Median error: {ed['median']:8.2f}")
+    add(f"   Std dev:      {ed['std']:8.2f}")
+    add(f"   75th %ile:    {ed['q75']:8.2f}")
+    add(f"   90th %ile:    {ed['q90']:8.2f}")
+    add(f"   95th %ile:    {ed['q95']:8.2f}")
+    add(f"   99th %ile:    {ed['q99']:8.2f}")
+
+    od = metrics["outlier_detection"]
+    add("")
+    add(f"OUTLIER DETECTION ({od['method'].upper()}):")
+    add(f"   Threshold:    {od['threshold']:8.2f}")
+    add(
+        f"   Outliers:     {od['outlier_count']:8,} pixels"
+        f" ({od['outlier_percentage']:.2f}%)"
+    )
+    add(
+        f"   Inliers:      {od['inlier_count']:8,} pixels"
+        f" ({od['inlier_percentage']:.2f}%)"
+    )
+
+    add("")
+    add("METRICS COMPARISON:")
+    allp = metrics["all_pixels"]
+    add(f"   ALL PIXELS ({allp['pixel_count']:,}):")
+    add(f"     PSNR:  {allp['psnr']:8.2f} dB")
+    add(f"     MSE:   {allp['mse']:8.2f}")
+    add(f"     MAE:   {allp['mae']:8.2f}")
+
+    if "without_outliers" in metrics:
+        wo = metrics["without_outliers"]
+        improvement = wo["psnr"] - allp["psnr"]
+        add("")
+        add(f"   WITHOUT OUTLIERS ({wo['pixel_count']:,}):")
+        add(f"     PSNR:  {wo['psnr']:8.2f} dB  (+{improvement:.2f} dB)")
+        add(f"     MSE:   {wo['mse']:8.2f}  ({wo['mse'] / allp['mse'] * 100:.1f}% of original)")
+        add(f"     MAE:   {wo['mae']:8.2f}  ({wo['mae'] / allp['mae'] * 100:.1f}% of original)")
+        add(f"     Max:   {wo['max_error']:8.2f}")
+
+    add("")
+    add("PERCENTILE METRICS:")
+    for pct in (99, 95, 90, 75):
+        key = f"percentile_{pct}"
+        if key in metrics:
+            pm = metrics[key]
+            add(f"   Top {100 - pct}% excluded ({pm['pixel_count']:,} pixels):")
+            add(f"     PSNR: {pm['psnr']:8.2f} dB")
+
+    if "ssim" in metrics:
+        add("")
+        add("STRUCTURAL SIMILARITY (SSIM):")
+        add(f"   Full image:      {metrics['ssim'].get('full', 0):.4f}")
+        if "without_outliers" in metrics["ssim"]:
+            add(f"   Without outliers: {metrics['ssim']['without_outliers']:.4f}")
+
+    add("=" * 70)
+    return "\n".join(lines)

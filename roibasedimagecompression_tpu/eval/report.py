@@ -257,3 +257,113 @@ def html_report(rows: list, path, title: str = "RHCCQ vs JPEG comparison") -> No
 <tbody>{''.join(cells)}</tbody></table></body></html>"""
     with open(path, "w") as f:
         f.write(doc)
+
+
+def comparison_figure(original: np.ndarray, reconstructed: np.ndarray, path) -> dict:
+    """The 12-panel quality-comparison figure (plot_comparison,
+    decoder/uncompression/comparison.py:108-261): original, reconstruction,
+    split-screen, three difference maps, error heatmap, error histogram,
+    per-channel MSE bars, a metrics table, the SSIM map and a rating panel.
+
+    Saves a PNG to `path`; returns the metrics dict used in the panels.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    metrics = M.quality_metrics(original, reconstructed)
+    diffs = difference_maps(original, reconstructed)
+
+    fig, axes = plt.subplots(3, 4, figsize=(20, 15))
+    axes = axes.flatten()
+
+    axes[0].imshow(original)
+    axes[0].set_title(f"Original Image\n{original.shape[1]}x{original.shape[0]}")
+    axes[1].imshow(reconstructed)
+    axes[1].set_title("Reconstructed Image")
+
+    h, w = original.shape[:2]
+    side = np.concatenate([original, reconstructed], axis=1)
+    axes[2].imshow(side)
+    axes[2].axvline(x=w, color="red", linestyle="--", linewidth=2)
+    axes[2].set_title("Side-by-side Comparison")
+
+    axes[3].imshow(diffs["absolute"])
+    axes[3].set_title("Absolute Difference")
+    axes[4].imshow(diffs["squared"])
+    axes[4].set_title("Squared Difference (Amplified)")
+    axes[5].imshow(diffs["weighted"], cmap="hot")
+    axes[5].set_title("Perceptual Difference (Hot)")
+    axes[6].imshow(diffs["weighted"], cmap="jet")
+    axes[6].set_title("Error Heatmap")
+
+    error_flat = np.abs(
+        original.astype(np.float64) - reconstructed.astype(np.float64)
+    ).ravel()
+    axes[7].hist(error_flat, bins=50, color="blue", alpha=0.7, edgecolor="black")
+    axes[7].set_title("Error Distribution")
+    axes[7].set_xlabel("Absolute Error")
+    axes[7].set_ylabel("Frequency")
+    axes[7].grid(True, alpha=0.3)
+
+    mse_channels = [metrics["mse_r"], metrics["mse_g"], metrics["mse_b"]]
+    axes[8].bar(range(3), mse_channels, color=["red", "green", "blue"], alpha=0.7)
+    axes[8].set_title("MSE per Channel")
+    axes[8].set_xticks(range(3))
+    axes[8].set_xticklabels(["R", "G", "B"])
+    axes[8].grid(True, alpha=0.3, axis="y")
+
+    table = (
+        "Quality Metrics:\n----------------\n"
+        f"PSNR: {metrics['psnr']:.2f} dB\nSSIM: {metrics['ssim']:.3f}\n"
+        f"MSE:  {metrics['mse']:.2f}\nRMSE: {metrics['rmse']:.2f}\n"
+        f"MAE:  {metrics['mae']:.2f}\nMax Error: {metrics['max_error']:.2f}\n\n"
+        "Channel MSE:\n"
+        f"  Red:   {metrics['mse_r']:.2f}\n"
+        f"  Green: {metrics['mse_g']:.2f}\n"
+        f"  Blue:  {metrics['mse_b']:.2f}"
+    )
+    axes[9].text(
+        0.1, 0.5, table, fontsize=10, verticalalignment="center",
+        bbox=dict(boxstyle="round", facecolor="wheat", alpha=0.5),
+    )
+
+    smap = M.ssim_map(original, reconstructed)
+    axes[10].imshow(smap, cmap="viridis", vmin=0, vmax=1)
+    axes[10].set_title("SSIM Map\n(Structural Similarity)")
+
+    psnr = metrics["psnr"]
+    rating = (
+        "Excellent" if psnr > 40 else "Good" if psnr > 30
+        else "Fair" if psnr > 20 else "Poor"
+    )
+    ssim_v = metrics["ssim"]
+    ssim_rating = (
+        "Excellent" if ssim_v > 0.95 else "Good" if ssim_v > 0.85
+        else "Fair" if ssim_v > 0.70 else "Poor"
+    )
+    assessment = (
+        "Quality Assessment:\n-------------------\n"
+        f"PSNR: {psnr:.1f} dB -> {rating}\n"
+        f"SSIM: {ssim_v:.3f} -> {ssim_rating}\n\n"
+        "Interpretation:\n"
+        "- PSNR > 40 dB: Excellent\n- 30-40 dB: Good\n- 20-30 dB: Fair\n- < 20 dB: Poor\n\n"
+        "- SSIM > 0.95: Excellent\n- 0.85-0.95: Good\n- 0.70-0.85: Fair\n- < 0.70: Poor"
+    )
+    axes[11].text(
+        0.1, 0.5, assessment, fontsize=9, verticalalignment="center",
+        bbox=dict(boxstyle="round", facecolor="lightgray", alpha=0.5),
+    )
+
+    for i, ax in enumerate(axes):
+        if i not in (7, 8):
+            ax.axis("off")
+    fig.suptitle(
+        "Image Quality Comparison: Original vs Reconstructed",
+        fontsize=16, fontweight="bold",
+    )
+    fig.tight_layout()
+    fig.savefig(path, dpi=72, bbox_inches="tight")
+    plt.close(fig)
+    return metrics

@@ -249,10 +249,23 @@ def tiers23_colors_many(t1_list: list, group_map_list: list, config: cfg.CodecCo
         for j, k in enumerate(owner):
             t2_list[k][sels[j]] = mapped[j]
 
+    # ---- optional black-hole fill before tier 3 (image.py:259 call point) ---
+    if config.fill_black_holes > 0:
+        from roibasedimagecompression_tpu.models import holes as HOLES
+
+        t2_list = [
+            HOLES.fill_black_holes(t2, config.fill_black_holes) for t2 in t2_list
+        ]
+
     # ---- tier 3: one problem per image --------------------------------------
     colors_in, sels, owner = [], [], []
     for k, (t2, gm) in enumerate(zip(t2_list, group_map_list)):
         sel = gm > 0
+        if config.fill_black_holes > 0:
+            # Filled pixels join the tier-3 clustering problem even when they
+            # sit outside every region (the reference clusters the whole
+            # merged canvas, filled holes included).
+            sel = sel | (t2 != 0).any(axis=-1)
         if sel.any():
             colors_in.append(t2)
             sels.append(sel)

@@ -89,6 +89,51 @@ def ssim_single(
     return jnp.mean(s)
 
 
+def ssim_map(a: np.ndarray, b: np.ndarray, data_range: float = 255.0, win_size: int = 7) -> np.ndarray:
+    """Per-pixel SSIM map (channel-averaged), padded back to input size.
+
+    The skimage full=True map feeding the 12-panel comparison figure
+    (decoder/uncompression/comparison.py:198-205).  Valid-window interior;
+    border pixels replicate the nearest interior value.
+    """
+
+    @functools.partial(jax.jit, static_argnames=("win_size",))
+    def one(x, y, win_size):
+        xf = x.astype(jnp.float32)
+        yf = y.astype(jnp.float32)
+        np_pts = float(win_size * win_size)
+        cov_norm = np_pts / (np_pts - 1.0)
+        shift = 0.5 * (jnp.mean(xf) + jnp.mean(yf))
+        xf = xf - shift
+        yf = yf - shift
+        ux = _uniform_filter_valid(xf, win_size)
+        uy = _uniform_filter_valid(yf, win_size)
+        uxx = _uniform_filter_valid(xf * xf, win_size)
+        uyy = _uniform_filter_valid(yf * yf, win_size)
+        uxy = _uniform_filter_valid(xf * yf, win_size)
+        vx = cov_norm * (uxx - ux * ux)
+        vy = cov_norm * (uyy - uy * uy)
+        vxy = cov_norm * (uxy - ux * uy)
+        c1 = (0.01 * data_range) ** 2
+        c2 = (0.03 * data_range) ** 2
+        ux = ux + shift
+        uy = uy + shift
+        return (2.0 * ux * uy + c1) * (2.0 * vxy + c2) / (
+            (ux * ux + uy * uy + c1) * (vx + vy + c2)
+        )
+
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.ndim == 2:
+        a = a[..., None]
+        b = b[..., None]
+    maps = [np.asarray(one(jnp.asarray(a[..., c]), jnp.asarray(b[..., c]), win_size))
+            for c in range(a.shape[-1])]
+    interior = np.mean(maps, axis=0)
+    pad = win_size // 2
+    return np.pad(interior, pad, mode="edge")
+
+
 def ssim(a: jax.Array, b: jax.Array, data_range: float = 255.0, win_size: int = 7) -> jax.Array:
     """SSIM for (h, w) or (h, w, c) images; channels averaged like skimage."""
     if a.ndim == 2:

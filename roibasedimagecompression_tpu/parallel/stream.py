@@ -57,30 +57,50 @@ def encode_many(
     b, h, w, _ = batch.shape
     min_size = cfg.min_region_size(h * w * 3)
 
-    # 1. Batched ROI masks (one device call for the whole batch),
-    #    optionally sharded over the mesh's data axis.
+    # 1. Batched ROI masks, optionally sharded over the mesh's data axis.
+    #    On a single TPU chip the vmapped fused graph is dispatched in chunks:
+    #    B >= 4 reproducibly faults the v5e worker (a runtime kernel fault,
+    #    observed round 1 and again round 2 at B=8), and once the worker dies
+    #    the whole process loses the device — so the crash must be avoided,
+    #    not caught.  RHCCQ_ROI_BATCH overrides the chunk size.
     if config.single_region:
         roi_masks = np.ones((b, h, w), bool)
         nonroi_masks = np.zeros((b, h, w), bool)
     else:
-        x = jnp.asarray(batch)
-        try:
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-                x = jax.device_put(x, NamedSharding(mesh, P("data")))
-                with mesh:
-                    rm, nm = _roi_masks_batch(x, config.roi)
-            else:
+            x = jax.device_put(
+                jnp.asarray(batch), NamedSharding(mesh, P("data"))
+            )
+            with mesh:
                 rm, nm = _roi_masks_batch(x, config.roi)
             roi_masks, nonroi_masks = np.asarray(rm), np.asarray(nm)
-        except Exception:
-            # Large vmapped batches of the fused ROI graph can exceed what a
-            # single-chip runtime tolerates (observed worker fault at B=4 on
-            # the tunneled v5e); fall back to the per-image graph.
-            masks = [RF.roi_masks(batch[k], config) for k in range(b)]
-            roi_masks = np.stack([m[0] for m in masks])
-            nonroi_masks = np.stack([m[1] for m in masks])
+        else:
+            import os
+
+            default_chunk = 2 if jax.default_backend() == "tpu" else 64
+            chunk = int(os.environ.get("RHCCQ_ROI_BATCH", default_chunk))
+            try:
+                rms, nms = [], []
+                for s in range(0, b, chunk):
+                    part = batch[s : s + chunk]
+                    if len(part) == 1:
+                        r1, n1 = RF.roi_masks(part[0], config)
+                        rms.append(r1[None])
+                        nms.append(n1[None])
+                    else:
+                        rm, nm = _roi_masks_batch(jnp.asarray(part), config.roi)
+                        rms.append(np.asarray(rm))
+                        nms.append(np.asarray(nm))
+                roi_masks = np.concatenate(rms)
+                nonroi_masks = np.concatenate(nms)
+            except Exception:
+                # Per-image graph fallback (works for transient faults; a
+                # dead TPU worker is unrecoverable either way).
+                masks = [RF.roi_masks(batch[k], config) for k in range(b)]
+                roi_masks = np.stack([m[0] for m in masks])
+                nonroi_masks = np.stack([m[1] for m in masks])
 
     # 2. Batched segmentation -> one stacked tall segment map.  All regions
     #    of all images pool into the same shape-bucketed split-score / SLIC

@@ -158,3 +158,30 @@ def test_quality_regression_pin(lenna128):
     bpp = len(data) * 8 / (128 * 128)
     assert q["psnr"] > 29.0, (q["psnr"], bpp)
     assert bpp < 7.5, (q["psnr"], bpp)
+
+
+def test_reference_law_parity_mode():
+    """Reference-parity contract (VERDICT round-2 item 7): with
+    weighted_palette=False the encoder follows the reference laws exactly;
+    its R-D point on a fixed input must stay inside the measured corridor.
+
+    Pinned 2026-08-16 on 256x256 Lenna: batched 35.53 dB @ 4.443 bpp,
+    loop path 35.33 dB @ 4.387 bpp.  (Full-image corridor vs the shipped
+    artifact: ours 33.16 dB @ 3.586 bpp vs reference 33.26 dB @ 3.75 bpp —
+    within 0.1 dB at 0.16 bpp lower rate.)
+    """
+    img = image_io.imread_rgb("/root/reference/images/png/Lenna.png")[:256, :256]
+
+    data = rtc.encode(img, rtc.CodecConfig(weighted_palette=False))
+    q = M.quality_metrics(img, rtc.decode(data))
+    bpp = len(data) * 8 / (256 * 256)
+    assert abs(q["psnr"] - 35.53) < 0.5, q["psnr"]
+    assert abs(bpp - 4.443) < 0.3, bpp
+
+    data = rtc.encode(
+        img, rtc.CodecConfig(weighted_palette=False, batched=False)
+    )
+    q = M.quality_metrics(img, rtc.decode(data))
+    bpp = len(data) * 8 / (256 * 256)
+    assert abs(q["psnr"] - 35.33) < 0.5, q["psnr"]
+    assert abs(bpp - 4.387) < 0.3, bpp
