@@ -97,7 +97,7 @@ def bridge_small_gaps(
     candidates = (~x) & (density > density_threshold)
     kernels = CONV.directional_reach_kernels(max_gap, local_window)
     xf = x.astype(jnp.float32) * 255.0
-    reach = [CONV.conv2d_same(xf, jnp.asarray(kernels[i]), reflect=True) > 0 for i in range(8)]
+    reach = CONV.conv2d_same_multi(xf, jnp.asarray(kernels), reflect=True) > 0
     gaps = jnp.zeros_like(x)
     for p in range(4):
         gaps = gaps | (candidates & reach[2 * p] & reach[2 * p + 1])

@@ -112,10 +112,7 @@ def _bridge_gaps(binary, max_gap, rc: cfg.RoiConfig):
     candidates = (~binary) & (density > rc.bridge1_density)
     kernels = CONV.directional_reach_kernels(max_gap, rc.bridge_local_window)
     xf = binary.astype(jnp.float32) * 255.0
-    reach = [
-        CONV.conv2d_same(xf, jnp.asarray(kernels[i]), reflect=True) > 0
-        for i in range(8)
-    ]
+    reach = CONV.conv2d_same_multi(xf, jnp.asarray(kernels), reflect=True) > 0
     gaps = jnp.zeros_like(binary)
     for p in range(4):
         gaps = gaps | (candidates & reach[2 * p] & reach[2 * p + 1])
@@ -136,14 +133,23 @@ def _remove_small_regions(binary, min_size):
 
 
 @functools.partial(jax.jit, static_argnames=("rc",))
-def roi_masks_device(image_rgb: jax.Array, rc: cfg.RoiConfig):
-    """(h, w, 3) uint8 -> (roi_mask, nonroi_mask) bool — one compiled graph."""
-    gray = COL.rgb_to_gray_cv2(image_rgb)
-    cands = CANNY.adaptive_thresholds(gray)
-    scores = CANNY.edge_quality_scores(gray, cands)
-    best = jnp.argmax(scores)
+def roi_masks_device(image_rgb: jax.Array, rc: cfg.RoiConfig, low=None, high=None):
+    """(h, w, 3) uint8 + chosen Canny thresholds -> (roi_mask, nonroi_mask).
+
+    Threshold selection is HOISTED OUT of the graph (canny.select_thresholds:
+    a single device analysis call + host union-find scoring) — the in-graph
+    20-candidate propagation sweep was ~3.7 s of the 5.6 s round-1 ROI stage.
+    low=None keeps the fully-fused legacy behavior (sweep in-graph) for the
+    shardable single-graph demo path.
+    """
+    if low is None:
+        gray = COL.rgb_to_gray_cv2(image_rgb)
+        cands = CANNY.adaptive_thresholds(gray)
+        scores = CANNY.edge_quality_scores(gray, cands)
+        best = jnp.argmax(scores)
+        low, high = cands[best, 0], cands[best, 1]
     mag, nms = CANNY.gradient_and_nms(image_rgb)
-    edges = CANNY.hysteresis(mag, nms, cands[best, 0], cands[best, 1])
+    edges = CANNY.hysteresis(mag, nms, low, high)
 
     density = CONV.box_density(edges, rc.density_kernel)
     thr = H.masked_mean(density, edges) / 100.0
@@ -177,6 +183,10 @@ def roi_masks_device(image_rgb: jax.Array, rc: cfg.RoiConfig):
 
 
 def roi_masks(image_rgb: np.ndarray, config: cfg.CodecConfig):
-    """Host wrapper matching models/roi.roi_masks."""
-    roi, nonroi = roi_masks_device(jnp.asarray(image_rgb), config.roi)
+    """Host wrapper matching models/roi.roi_masks (hybrid threshold
+    selection + one fused mask graph)."""
+    low, high, _, _ = CANNY.select_thresholds(image_rgb)
+    roi, nonroi = roi_masks_device(
+        jnp.asarray(image_rgb), config.roi, jnp.float32(low), jnp.float32(high)
+    )
     return np.asarray(roi), np.asarray(nonroi)

@@ -284,17 +284,147 @@ def get_edge_map_fast(image_rgb: np.ndarray):
     return np.asarray(edges), (float(low), float(high))
 
 
+@jax.jit
+def edge_analysis(image_rgb: jnp.ndarray):
+    """The threshold-independent device work of the adaptive sweep, fused:
+    candidate table + gray gradient/NMS (for scoring) + color gradient/NMS
+    (for the final Canny).  One device call; everything downstream of it is
+    per-candidate connected-components work that a host union-find does in
+    milliseconds (the in-graph propagation sweep cost ~3.7 s of the round-1
+    ROI stage)."""
+    gray = COL.rgb_to_gray_cv2(image_rgb)
+    cands = adaptive_thresholds(gray)
+    mag_g, nms_g = gradient_and_nms(gray)
+    mag_c, nms_c = gradient_and_nms(image_rgb)
+    return gray, cands, mag_g, nms_g, mag_c, nms_c
+
+
+@jax.jit
+def _edge_analysis_gray(image_rgb: jnp.ndarray):
+    """Gray-only analysis for batched threshold selection (the color
+    gradient/NMS stays on device — the fused mask graph recomputes it)."""
+    gray = COL.rgb_to_gray_cv2(image_rgb)
+    cands = adaptive_thresholds(gray)
+    mag_g, nms_g = gradient_and_nms(gray)
+    return gray, cands, mag_g, nms_g
+
+
+@jax.jit
+def edge_analysis_batch(images: jnp.ndarray):
+    return jax.vmap(_edge_analysis_gray)(images)
+
+
+def hysteresis_host(mag: np.ndarray, nms: np.ndarray, low, high):
+    """Host hysteresis: native union-find over the weak graph; components
+    containing a strong pixel survive.  Returns None without the native lib."""
+    from roibasedimagecompression_tpu import native
+
+    weak = nms & (mag > low)
+    out = native.cc_label(weak, connectivity=8)
+    if out is None:
+        return None
+    labels, num, _ = out
+    if num == 0:
+        return np.zeros(mag.shape, bool)
+    strong = nms & (mag > high)
+    keep = np.zeros(num + 1, bool)
+    keep[labels[strong]] = True
+    keep[0] = False
+    return keep[labels]
+
+
+def score_candidates_host(gray: np.ndarray, mag: np.ndarray, nms: np.ndarray, cands: np.ndarray):
+    """Score all (low, high) candidates with host union-find CC.
+
+    evaluate_edge_quality (edges.py:73-85): score = mean kept-component size x
+    std of gray at edge pixels; first best wins (strict >, matching the
+    device argmax tie-break).  Returns the best index, or None without the
+    native library.
+    """
+    from roibasedimagecompression_tpu import native
+
+    if not native.available():
+        return None
+    grayf = gray.astype(np.float64)
+    best, best_score = 0, -np.inf
+    for i in range(len(cands)):
+        low, high = cands[i]
+        weak = nms & (mag > low)
+        out = native.cc_label(weak, connectivity=8)
+        if out is None:
+            return None
+        labels, num, stats = out
+        if num == 0:
+            continue
+        strong = nms & (mag > high)
+        keep = np.zeros(num + 1, bool)
+        keep[labels[strong]] = True
+        keep[0] = False
+        n_comp = int(keep.sum())
+        if n_comp == 0:
+            continue
+        edges = keep[labels]
+        n_edge = int(stats[keep[1:], 0].sum())
+        vals = grayf[edges]
+        contrast = float(vals.std())
+        score = (n_edge / n_comp) * contrast
+        if score > best_score:
+            best_score, best = score, i
+    return best
+
+
+def select_thresholds(image_rgb: np.ndarray):
+    """Adaptive threshold selection: device analysis + host CC scoring.
+
+    Returns (low, high, mag_c, nms_c) — the color gradient/NMS ride along so
+    callers can finish the final hysteresis without another device pass.
+    Falls back to the all-device scoring path when the native CC library is
+    unavailable.
+    """
+    out = edge_analysis(jnp.asarray(image_rgb))
+    gray, cands, mag_g, nms_g, mag_c, nms_c = (np.asarray(x) for x in out)
+    best = score_candidates_host(gray, mag_g, nms_g, cands)
+    if best is None:
+        scores = edge_quality_scores(jnp.asarray(gray), jnp.asarray(cands))
+        best = int(jnp.argmax(scores))
+    low, high = cands[best]
+    return float(low), float(high), mag_c, nms_c
+
+
+def select_thresholds_many(images: np.ndarray):
+    """Batched adaptive threshold selection: ONE device analysis call for the
+    whole (B, h, w, 3) batch, host CC scoring per image (threaded).
+
+    Returns (lows (B,), highs (B,)) float32 arrays.
+    """
+    import concurrent.futures
+
+    out = edge_analysis_batch(jnp.asarray(images))
+    gray, cands, mag_g, nms_g = (np.asarray(x) for x in out)
+    b = len(images)
+
+    def score(k):
+        best = score_candidates_host(gray[k], mag_g[k], nms_g[k], cands[k])
+        if best is None:
+            scores = edge_quality_scores(jnp.asarray(gray[k]), jnp.asarray(cands[k]))
+            best = int(jnp.argmax(scores))
+        return cands[k][best]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        pairs = list(pool.map(score, range(b)))
+    lows = np.asarray([p[0] for p in pairs], np.float32)
+    highs = np.asarray([p[1] for p in pairs], np.float32)
+    return lows, highs
+
+
 def get_edge_map(image_rgb: np.ndarray):
     """Adaptive Canny (get_edge_map, edges.py:35-38): pick the best-scoring
     (low, high) on the grayscale image, then run Canny on the RGB image.
 
     Returns (edges bool (h, w), (low, high)).
     """
-    rgb = jnp.asarray(image_rgb)
-    gray = COL.rgb_to_gray_cv2(rgb)
-    cands = adaptive_thresholds(gray)
-    scores = edge_quality_scores(gray, cands)
-    best = int(jnp.argmax(scores))
-    low, high = np.asarray(cands)[best]
-    edges = canny(rgb, float(low), float(high))
-    return np.asarray(edges), (float(low), float(high))
+    low, high, mag_c, nms_c = select_thresholds(image_rgb)
+    edges = hysteresis_host(mag_c, nms_c, low, high)
+    if edges is None:
+        edges = np.asarray(canny(jnp.asarray(image_rgb), low, high))
+    return edges, (float(low), float(high))

@@ -108,6 +108,30 @@ def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return out[..., 0] if squeeze else out
 
 
+def conv2d_same_multi(x: jnp.ndarray, kernels: jnp.ndarray, *, reflect: bool = True) -> jnp.ndarray:
+    """N same-size 2-D correlations in ONE conv: (h, w) x (n, kh, kw) -> (n, h, w).
+
+    The gap-bridging stage runs 8 directional-reach kernels; as separate
+    conv2d_same calls each pays its own pad + dispatch (~700 ms/stage on the
+    tunneled chip) — one multi-output-channel conv is a single XLA op.
+    """
+    n, kh, kw = kernels.shape
+    ph, pw = kh // 2, kw // 2
+    x = x.astype(jnp.float32)
+    if reflect:
+        x = jnp.pad(x, ((ph, kh - 1 - ph), (pw, kw - 1 - pw)), mode="reflect")
+        padding = "VALID"
+    else:
+        padding = [(ph, kh - 1 - ph), (pw, kw - 1 - pw)]
+    out = jax.lax.conv_general_dilated(
+        x[None, None],
+        kernels.astype(jnp.float32)[:, None],
+        window_strides=(1, 1),
+        padding=padding,
+    )
+    return out[0]
+
+
 def directional_reach_kernels(max_gap: int, local_window: int) -> np.ndarray:
     """The 8 gap-bridging kernels (4 opposite-direction pairs).
 

@@ -34,8 +34,10 @@ from roibasedimagecompression_tpu.models import segment as SEG
 
 
 @functools.partial(jax.jit, static_argnames=("rc",))
-def _roi_masks_batch(images: jax.Array, rc: cfg.RoiConfig):
-    return jax.vmap(lambda im: RF.roi_masks_device(im, rc))(images)
+def _roi_masks_batch(images: jax.Array, lows: jax.Array, highs: jax.Array, rc: cfg.RoiConfig):
+    return jax.vmap(lambda im, lo, hi: RF.roi_masks_device(im, rc, lo, hi))(
+        images, lows, highs
+    )
 
 
 def encode_many(
@@ -67,14 +69,21 @@ def encode_many(
         roi_masks = np.ones((b, h, w), bool)
         nonroi_masks = np.zeros((b, h, w), bool)
     else:
+        from roibasedimagecompression_tpu.ops import canny as CANNY
+
+        # Hybrid threshold selection for the whole batch (one device call +
+        # threaded host CC scoring), then the fused mask graph.
+        lows, highs = CANNY.select_thresholds_many(batch)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             x = jax.device_put(
                 jnp.asarray(batch), NamedSharding(mesh, P("data"))
             )
+            lo = jax.device_put(jnp.asarray(lows), NamedSharding(mesh, P("data")))
+            hi = jax.device_put(jnp.asarray(highs), NamedSharding(mesh, P("data")))
             with mesh:
-                rm, nm = _roi_masks_batch(x, config.roi)
+                rm, nm = _roi_masks_batch(x, lo, hi, config.roi)
             roi_masks, nonroi_masks = np.asarray(rm), np.asarray(nm)
         else:
             import os
@@ -86,11 +95,19 @@ def encode_many(
                 for s in range(0, b, chunk):
                     part = batch[s : s + chunk]
                     if len(part) == 1:
-                        r1, n1 = RF.roi_masks(part[0], config)
-                        rms.append(r1[None])
-                        nms.append(n1[None])
+                        rm, nm = RF.roi_masks_device(
+                            jnp.asarray(part[0]), config.roi,
+                            jnp.float32(lows[s]), jnp.float32(highs[s]),
+                        )
+                        rms.append(np.asarray(rm)[None])
+                        nms.append(np.asarray(nm)[None])
                     else:
-                        rm, nm = _roi_masks_batch(jnp.asarray(part), config.roi)
+                        rm, nm = _roi_masks_batch(
+                            jnp.asarray(part),
+                            jnp.asarray(lows[s : s + chunk]),
+                            jnp.asarray(highs[s : s + chunk]),
+                            config.roi,
+                        )
                         rms.append(np.asarray(rm))
                         nms.append(np.asarray(nm))
                 roi_masks = np.concatenate(rms)
