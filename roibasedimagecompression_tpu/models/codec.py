@@ -318,8 +318,10 @@ def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
             nonroi_regions = []
         else:
             from roibasedimagecompression_tpu.models import roi_fused as ROI
+            from roibasedimagecompression_tpu.ops import canny as CANNY
 
-            roi_mask, nonroi_mask = ROI.roi_masks(image_rgb, config)
+            low, high, _, _ = CANNY.select_thresholds(image_rgb)
+            roi_mask, nonroi_mask = ROI.roi_masks_fast(image_rgb, config, low, high)
             roi_regions, nonroi_regions = _extract_and_assign(
                 image_rgb, roi_mask, nonroi_mask, config, min_size
             )

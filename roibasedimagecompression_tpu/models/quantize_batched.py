@@ -31,8 +31,27 @@ import jax.numpy as jnp
 from roibasedimagecompression_tpu import config as cfg
 from roibasedimagecompression_tpu.ops import cluster as CL
 from roibasedimagecompression_tpu.parallel import shard as SHARD
+from roibasedimagecompression_tpu.utils.timing import stage_timer
 
 _BUCKETS = (64, 256, 1024, 4096, 9999)  # eps-CC path caps (>=10k goes to k-means)
+
+
+def _unique_inverse(keys: np.ndarray):
+    """np.unique(return_inverse) through the native radix sort when available
+    (the pair-table unique was a measured hot spot of the batched encode)."""
+    from roibasedimagecompression_tpu import native
+
+    return native.unique_inverse_i64(keys)
+
+
+def _runs_of_sorted(sorted_arr: np.ndarray):
+    """(values, starts, counts) of equal runs in an already-sorted array —
+    np.unique(return_index, return_counts) without re-sorting."""
+    if len(sorted_arr) == 0:
+        return sorted_arr, np.zeros(0, np.int64), np.zeros(0, np.int64)
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(sorted_arr)) + 1])
+    sizes = np.diff(np.concatenate([starts, [len(sorted_arr)]]))
+    return sorted_arr[starts], starts, sizes
 
 
 def _pairs(image_rgb: np.ndarray, seg_map: np.ndarray):
@@ -49,7 +68,7 @@ def _pairs(image_rgb: np.ndarray, seg_map: np.ndarray):
     )
     key = seg_map.astype(np.int64) << 24 | packed
     flat = key[mask]
-    uniq, inverse = np.unique(flat, return_inverse=True)
+    uniq, inverse = _unique_inverse(flat)
     seg_of_pair = (uniq >> 24).astype(np.int32)
     color_of_pair = (uniq & 0xFFFFFF).astype(np.int32)
     return seg_of_pair, color_of_pair, inverse.astype(np.int64), mask
@@ -196,19 +215,18 @@ def tier1_colors(
     Returns:
       (h, w, 3) uint8 tier-1 colors (black where seg_map == 0).
     """
-    seg_of_pair, color_of_pair, inverse, mask = _pairs(image_rgb, seg_map)
-    if len(seg_of_pair) == 0:
-        return np.zeros_like(image_rgb)
-    seg_of_pair, color_of_pair, inverse, _ = _black_repair_pairs(
-        seg_of_pair, color_of_pair, inverse
-    )
+    with stage_timer("t1.pairs"):
+        seg_of_pair, color_of_pair, inverse, mask = _pairs(image_rgb, seg_map)
+        if len(seg_of_pair) == 0:
+            return np.zeros_like(image_rgb)
+        seg_of_pair, color_of_pair, inverse, _ = _black_repair_pairs(
+            seg_of_pair, color_of_pair, inverse
+        )
     colors = _unpack(color_of_pair).astype(np.float32)
     n_pairs = len(seg_of_pair)
 
     # Pair table is sorted by (segment, color): contiguous runs per segment.
-    seg_ids, starts, sizes = np.unique(
-        seg_of_pair, return_index=True, return_counts=True
-    )
+    seg_ids, starts, sizes = _runs_of_sorted(seg_of_pair)
     qualities = seg_quality[seg_ids]
     # Reference n_colors counts the bbox-crop black too (subregions.py:426-437).
     n_colors_law = sizes + 1
@@ -226,62 +244,65 @@ def tier1_colors(
     cluster_keys = np.full(n_pairs, -1, np.int64)
     key_base = np.int64(0)
 
-    big = np.flatnonzero(sizes >= cfg.KMEANS_SWITCH_COLORS)
-    small_sizes = sizes.copy()
-    small_sizes[big] = 0  # excluded from buckets
-    for cap, ids in _bucketize(small_sizes, list(_BUCKETS)).items():
-        pts, valid, pair_idx = _gather_bucket(ids, starts, sizes, colors, cap, mesh=mesh)
-        eps_b = np.ones(len(pts), np.float32)
-        eps_b[: len(ids)] = eps[ids]
-        labels = np.asarray(
-            _eps_components_batched(
-                SHARD.shard_rows(pts, mesh),
-                SHARD.shard_rows(eps_b, mesh),
-                SHARD.shard_rows(valid, mesh),
-                chunk=min(512, cap),
+    with stage_timer("t1.epscc"):
+        big = np.flatnonzero(sizes >= cfg.KMEANS_SWITCH_COLORS)
+        small_sizes = sizes.copy()
+        small_sizes[big] = 0  # excluded from buckets
+        for cap, ids in _bucketize(small_sizes, list(_BUCKETS)).items():
+            pts, valid, pair_idx = _gather_bucket(ids, starts, sizes, colors, cap, mesh=mesh)
+            eps_b = np.ones(len(pts), np.float32)
+            eps_b[: len(ids)] = eps[ids]
+            labels = np.asarray(
+                _eps_components_batched(
+                    SHARD.shard_rows(pts, mesh),
+                    SHARD.shard_rows(eps_b, mesh),
+                    SHARD.shard_rows(valid, mesh),
+                    chunk=min(512, cap),
+                )
             )
-        )
-        # Row-local min-index labels -> globally unique keys.
-        row_valid = valid[: len(ids)]
-        keys = key_base + np.arange(len(ids), dtype=np.int64)[:, None] * (cap + 1) + labels[: len(ids)]
-        cluster_keys[pair_idx[row_valid]] = keys[row_valid]
-        key_base += np.int64(len(ids)) * (cap + 1)
+            # Row-local min-index labels -> globally unique keys.
+            row_valid = valid[: len(ids)]
+            keys = key_base + np.arange(len(ids), dtype=np.int64)[:, None] * (cap + 1) + labels[: len(ids)]
+            cluster_keys[pair_idx[row_valid]] = keys[row_valid]
+            key_base += np.int64(len(ids)) * (cap + 1)
 
-    for pid in big:
-        s, n = starts[pid], sizes[pid]
-        k = cfg.kmeans_n_clusters(n, qualities[pid])
-        lab = CL.kmeans_host(colors[s : s + n], k, seed=seed)
-        cluster_keys[s : s + n] = key_base + lab
-        key_base += np.int64(lab.max()) + 1
+        for pid in big:
+            s, n = starts[pid], sizes[pid]
+            k = cfg.kmeans_n_clusters(n, qualities[pid])
+            lab = CL.kmeans_host(colors[s : s + n], k, seed=seed)
+            cluster_keys[s : s + n] = key_base + lab
+            key_base += np.int64(lab.max()) + 1
 
-    _, cluster_of_pair = np.unique(cluster_keys, return_inverse=True)
-    next_cluster = int(cluster_of_pair.max()) + 1
+        _, cluster_of_pair = _unique_inverse(cluster_keys)
+        next_cluster = int(cluster_of_pair.max()) + 1
 
     # ---- level-synchronous oversized-cluster splitting ----
-    pair_max_colors = np.repeat(max_colors, sizes)  # per pair, via run layout
-    cluster_of_pair, next_cluster = _split_oversized_batched(
-        colors, cluster_of_pair, pair_max_colors, next_cluster, seed, mesh=mesh
-    )
+    with stage_timer("t1.split"):
+        pair_max_colors = np.repeat(max_colors, sizes)  # per pair, via run layout
+        cluster_of_pair, next_cluster = _split_oversized_batched(
+            colors, cluster_of_pair, pair_max_colors, next_cluster, seed, mesh=mesh
+        )
 
     # ---- cluster mean colors (truncated uint8, clustering.py:305,347) ----
     # weighted=True weights each palette color by its pixel count so the
     # cluster color minimizes pixel-level MSE; weighted=False reproduces the
     # reference's unweighted palette-entry mean.
-    if weighted:
-        w = np.bincount(inverse, minlength=len(seg_of_pair)).astype(np.float64)
-    else:
-        w = np.ones(len(seg_of_pair), np.float64)
-    counts = np.bincount(cluster_of_pair, weights=w, minlength=next_cluster)
-    means = np.zeros((next_cluster, 3), np.float64)
-    for c in range(3):
-        means[:, c] = np.bincount(
-            cluster_of_pair, weights=colors[:, c] * w, minlength=next_cluster
-        )
-    means /= np.maximum(counts, 1.0)[:, None]
-    cluster_colors = means.astype(np.uint8)
+    with stage_timer("t1.means"):
+        if weighted:
+            w = np.bincount(inverse, minlength=len(seg_of_pair)).astype(np.float64)
+        else:
+            w = np.ones(len(seg_of_pair), np.float64)
+        counts = np.bincount(cluster_of_pair, weights=w, minlength=next_cluster)
+        means = np.zeros((next_cluster, 3), np.float64)
+        for c in range(3):
+            means[:, c] = np.bincount(
+                cluster_of_pair, weights=colors[:, c] * w, minlength=next_cluster
+            )
+        means /= np.maximum(counts, 1.0)[:, None]
+        cluster_colors = means.astype(np.uint8)
 
-    out = np.zeros_like(image_rgb)
-    out[mask] = cluster_colors[cluster_of_pair[inverse]]
+        out = np.zeros_like(image_rgb)
+        out[mask] = cluster_colors[cluster_of_pair[inverse]]
     return out
 
 
@@ -324,16 +345,14 @@ def cluster_color_maps_many(
     if sum(pixel_counts) == 0:
         return [np.zeros((0, 3), np.uint8) for _ in range(n_prob)]
     keys = np.concatenate(keys_parts)
-    uniq, inverse = np.unique(keys, return_inverse=True)
+    uniq, inverse = _unique_inverse(keys)
     prob_of_pair = (uniq >> 24).astype(np.int32)
     color_of_pair = (uniq & 0xFFFFFF).astype(np.int32)
     colors = _unpack(color_of_pair).astype(np.float32)
     n_pairs = len(uniq)
 
     # Pair table is sorted by (problem, color): contiguous runs per problem.
-    prob_ids, starts, sizes = np.unique(
-        prob_of_pair, return_index=True, return_counts=True
-    )
+    prob_ids, starts, sizes = _runs_of_sorted(prob_of_pair)
     # Laws (clustering_params): n counts black even when absent from the
     # pixels (the canvas background black joins the merged palette,
     # merging.py:42-44 — codec._cluster_color_map prepends it).
@@ -357,51 +376,53 @@ def cluster_color_maps_many(
     cluster_keys = np.full(n_pairs, -1, np.int64)
     key_base = np.int64(0)
 
-    big = np.flatnonzero(nb_sizes >= cfg.KMEANS_SWITCH_COLORS)
-    small_sizes = nb_sizes.copy()
-    small_sizes[big] = 0
-    for cap, ids in _bucketize(small_sizes, list(_BUCKETS)).items():
-        pts, valid, pair_idx = _gather_bucket(
-            ids, nb_starts, nb_sizes, colors, cap, mesh=mesh
-        )
-        eps_b = np.ones(len(pts), np.float32)
-        eps_b[: len(ids)] = eps[ids]
-        labels = np.asarray(
-            _eps_components_batched(
-                SHARD.shard_rows(pts, mesh),
-                SHARD.shard_rows(eps_b, mesh),
-                SHARD.shard_rows(valid, mesh),
-                chunk=min(512, cap),
+    with stage_timer("t23.epscc"):
+        big = np.flatnonzero(nb_sizes >= cfg.KMEANS_SWITCH_COLORS)
+        small_sizes = nb_sizes.copy()
+        small_sizes[big] = 0
+        for cap, ids in _bucketize(small_sizes, list(_BUCKETS)).items():
+            pts, valid, pair_idx = _gather_bucket(
+                ids, nb_starts, nb_sizes, colors, cap, mesh=mesh
             )
-        )
-        row_valid = valid[: len(ids)]
-        new_keys = (
-            key_base
-            + np.arange(len(ids), dtype=np.int64)[:, None] * (cap + 1)
-            + labels[: len(ids)]
-        )
-        cluster_keys[pair_idx[row_valid]] = new_keys[row_valid]
-        key_base += np.int64(len(ids)) * (cap + 1)
+            eps_b = np.ones(len(pts), np.float32)
+            eps_b[: len(ids)] = eps[ids]
+            labels = np.asarray(
+                _eps_components_batched(
+                    SHARD.shard_rows(pts, mesh),
+                    SHARD.shard_rows(eps_b, mesh),
+                    SHARD.shard_rows(valid, mesh),
+                    chunk=min(512, cap),
+                )
+            )
+            row_valid = valid[: len(ids)]
+            new_keys = (
+                key_base
+                + np.arange(len(ids), dtype=np.int64)[:, None] * (cap + 1)
+                + labels[: len(ids)]
+            )
+            cluster_keys[pair_idx[row_valid]] = new_keys[row_valid]
+            key_base += np.int64(len(ids)) * (cap + 1)
 
-    for row in big:
-        s, m = nb_starts[row], nb_sizes[row]
-        k = cfg.kmeans_n_clusters(int(m), qualities[row])
-        lab = CL.kmeans_host(colors[s : s + m], k, seed=seed)
-        cluster_keys[s : s + m] = key_base + lab
-        key_base += np.int64(lab.max()) + 1
+        for row in big:
+            s, m = nb_starts[row], nb_sizes[row]
+            k = cfg.kmeans_n_clusters(int(m), qualities[row])
+            lab = CL.kmeans_host(colors[s : s + m], k, seed=seed)
+            cluster_keys[s : s + m] = key_base + lab
+            key_base += np.int64(lab.max()) + 1
 
-    # Every black pair is its own singleton cluster (pinned verbatim).
-    black_rows = np.flatnonzero(is_black_pair)
-    cluster_keys[black_rows] = key_base + np.arange(len(black_rows))
+        # Every black pair is its own singleton cluster (pinned verbatim).
+        black_rows = np.flatnonzero(is_black_pair)
+        cluster_keys[black_rows] = key_base + np.arange(len(black_rows))
 
-    _, cluster_of_pair = np.unique(cluster_keys, return_inverse=True)
-    next_cluster = int(cluster_of_pair.max()) + 1
+        _, cluster_of_pair = _unique_inverse(cluster_keys)
+        next_cluster = int(cluster_of_pair.max()) + 1
 
     # Oversized splits (black singletons can never be oversized).
-    pair_limits = np.repeat(max_colors, sizes)
-    cluster_of_pair, next_cluster = _split_oversized_batched(
-        colors, cluster_of_pair, pair_limits, next_cluster, seed, mesh=mesh
-    )
+    with stage_timer("t23.split"):
+        pair_limits = np.repeat(max_colors, sizes)
+        cluster_of_pair, next_cluster = _split_oversized_batched(
+            colors, cluster_of_pair, pair_limits, next_cluster, seed, mesh=mesh
+        )
 
     # ---- cluster mean colors (truncated uint8, clustering.py:305,347) ------
     if weighted:
@@ -440,9 +461,7 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
     for _level in range(8):  # recursion depth bound (sizes shrink ~max/level)
         order = np.argsort(cluster_of_pair, kind="stable")
         sorted_cluster = cluster_of_pair[order]
-        _, starts, sizes = np.unique(
-            sorted_cluster, return_index=True, return_counts=True
-        )
+        _, starts, sizes = _runs_of_sorted(sorted_cluster)
         limits = pair_max_colors[order[starts]]
         oversized = np.flatnonzero((sizes > limits) & (sizes > 2))
         if len(oversized) == 0:
@@ -473,18 +492,24 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
             k_max = _pad_kmax(int(ks[rows].max()))
             ks_b = np.ones(len(pts), np.int32)
             ks_b[: len(ids)] = ks[rows]
-            labels = np.asarray(
-                _kmeans_batched(
-                    SHARD.shard_rows(pts, mesh),
-                    SHARD.shard_rows(valid, mesh),
-                    SHARD.shard_rows(ks_b, mesh),
-                    k_max=int(k_max),
-                    iters=25,
-                    seed=seed,
-                    chunk=min(2048, cap),
-                    plusplus=k_max <= 256,
+            with stage_timer("split.kmeans"):
+                labels = np.asarray(
+                    _kmeans_batched(
+                        SHARD.shard_rows(pts, mesh),
+                        SHARD.shard_rows(valid, mesh),
+                        SHARD.shard_rows(ks_b, mesh),
+                        k_max=int(k_max),
+                        # Oversized-split problems are small and near-separable
+                        # (a cluster marginally above its size cap): Lloyd is
+                        # within noise of converged after ~10 rounds, and the
+                        # split only bounds cluster SIZE, not the final palette
+                        # (means are recomputed from the split labels).
+                        iters=10,
+                        seed=seed,
+                        chunk=min(2048, cap),
+                        plusplus=k_max <= 256,
+                    )
                 )
-            )
             row_valid = valid[: len(ids)]
             keys = (
                 key_base
@@ -493,6 +518,6 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
             )
             cluster_of_pair[pair_idx[row_valid]] = keys[row_valid]
             key_base += np.int64(len(ids)) * (k_max + 1)
-        _, cluster_of_pair = np.unique(cluster_of_pair, return_inverse=True)
+        _, cluster_of_pair = _unique_inverse(cluster_of_pair)
         next_cluster = int(cluster_of_pair.max()) + 1
     return cluster_of_pair, next_cluster

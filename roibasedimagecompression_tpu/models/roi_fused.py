@@ -190,3 +190,24 @@ def roi_masks(image_rgb: np.ndarray, config: cfg.CodecConfig):
         jnp.asarray(image_rgb), config.roi, jnp.float32(low), jnp.float32(high)
     )
     return np.asarray(roi), np.asarray(nonroi)
+
+
+def roi_masks_fast(image_rgb: np.ndarray, config: cfg.CodecConfig, low, high):
+    """Low-latency ROI masks: native C++ pipeline when available, else the
+    fused device graph.
+
+    The mask chain is dominated by connected-components passes that cost
+    ~0.4-0.5 s each as device propagation sweeps but milliseconds as host
+    union-find (native/rhccq_native.cpp roi_pipeline).  The encode paths call
+    this uniformly — singles, batches and mesh runs — so batched==singles and
+    sharded==unsharded byte-equality contracts hold with either backend.
+    """
+    from roibasedimagecompression_tpu import native
+
+    out = native.roi_pipeline(image_rgb, float(low), float(high), config.roi)
+    if out is not None:
+        return out
+    roi, nonroi = roi_masks_device(
+        jnp.asarray(image_rgb), config.roi, jnp.float32(low), jnp.float32(high)
+    )
+    return np.asarray(roi), np.asarray(nonroi)

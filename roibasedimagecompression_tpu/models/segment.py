@@ -22,6 +22,7 @@ from roibasedimagecompression_tpu.ops import colors as COL
 from roibasedimagecompression_tpu.ops import conv as CONV
 from roibasedimagecompression_tpu.ops import lbp as LBP
 from roibasedimagecompression_tpu.ops import slic as SLIC
+from roibasedimagecompression_tpu.utils.timing import stage_timer
 
 
 @dataclasses.dataclass
@@ -222,26 +223,27 @@ def split_scores_many(crops: list, masks: list, mesh=None) -> list:
         buckets.setdefault((_pow2_bucket(h), _pow2_bucket(w)), []).append(i)
     from roibasedimagecompression_tpu.parallel import shard as SHARD
 
-    for (ph, pw), ids in buckets.items():
-        bsz = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
-        rgb_b = np.zeros((bsz, ph, pw, 3), np.uint8)
-        mask_b = np.zeros((bsz, ph, pw), bool)
-        for row, i in enumerate(ids):
-            c, m = canon[i]
-            h, w = m.shape
-            rgb_b[row, :h, :w] = c
-            mask_b[row, :h, :w] = m
-        overall, color, texture, count = (
-            np.asarray(x)
-            for x in _split_score_batch(
-                SHARD.shard_rows(rgb_b, mesh), SHARD.shard_rows(mask_b, mesh)
+    with stage_timer("seg.score"):
+        for (ph, pw), ids in buckets.items():
+            bsz = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
+            rgb_b = np.zeros((bsz, ph, pw, 3), np.uint8)
+            mask_b = np.zeros((bsz, ph, pw), bool)
+            for row, i in enumerate(ids):
+                c, m = canon[i]
+                h, w = m.shape
+                rgb_b[row, :h, :w] = c
+                mask_b[row, :h, :w] = m
+            overall, color, texture, count = (
+                np.asarray(x)
+                for x in _split_score_batch(
+                    SHARD.shard_rows(rgb_b, mesh), SHARD.shard_rows(mask_b, mesh)
+                )
             )
-        )
-        for row, i in enumerate(ids):
-            if count[row] < 100:
-                out[i] = (0.0, 0.0, 0.0)
-            else:
-                out[i] = (float(overall[row]), float(color[row]), float(texture[row]))
+            for row, i in enumerate(ids):
+                if count[row] < 100:
+                    out[i] = (0.0, 0.0, 0.0)
+                else:
+                    out[i] = (float(overall[row]), float(color[row]), float(texture[row]))
     return out
 
 
@@ -333,14 +335,15 @@ def region_segments_many(
             work_n[i] = n_segments[i]
         run_ids.append(i)
 
-    labels_small = SLIC.slic_many(
-        [work_imgs[i] for i in run_ids],
-        [work_masks[i] for i in run_ids],
-        [work_n[i] for i in run_ids],
-        compactness=compactness,
-        sigma=sigma,
-        mesh=mesh,
-    )
+    with stage_timer("seg.slic"):
+        labels_small = SLIC.slic_many(
+            [work_imgs[i] for i in run_ids],
+            [work_masks[i] for i in run_ids],
+            [work_n[i] for i in run_ids],
+            compactness=compactness,
+            sigma=sigma,
+            mesh=mesh,
+        )
     for pos, i in enumerate(run_ids):
         lab = labels_small[pos]
         if scaled[i]:

@@ -67,6 +67,30 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_void_p,
         ]
+        lib.slic_enforce.restype = ctypes.c_int32
+        lib.slic_enforce.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.roi_pipeline.restype = None
+        lib.roi_pipeline.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.canny_analysis.restype = None
+        lib.canny_analysis.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.gradient_nms_rgb.restype = None
+        lib.gradient_nms_rgb.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.sort_unique_inverse.restype = ctypes.c_int64
+        lib.sort_unique_inverse.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -116,6 +140,124 @@ def rle_decode(pairs: np.ndarray, total: int) -> np.ndarray:
             raise ValueError("RLE stream longer than declared size")
         return out[:n].copy()
     return np.repeat(pairs[:, 0], pairs[:, 1])[:total]
+
+
+def canny_analysis(image_rgb: np.ndarray):
+    """Native adaptive-Canny analysis for threshold selection.
+
+    Returns (gray u8 (h, w), mag int32 (h, w), nms bool (h, w),
+    cands f32 (20, 2)) or None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(image_rgb, dtype=np.uint8)
+    h, w = img.shape[:2]
+    if h * w >= 2**31:
+        return None
+    gray = np.empty((h, w), np.uint8)
+    mag = np.empty((h, w), np.int32)
+    nms = np.empty((h, w), np.uint8)
+    cands = np.empty((20, 2), np.float32)
+    lib.canny_analysis(
+        img.ctypes.data, h, w, gray.ctypes.data, mag.ctypes.data,
+        nms.ctypes.data, cands.ctypes.data,
+    )
+    return gray, mag, nms.astype(bool), cands
+
+
+def gradient_nms_rgb(image_rgb: np.ndarray):
+    """Color gradient/NMS (cv2.Canny semantics) -> (mag int32, nms bool)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(image_rgb, dtype=np.uint8)
+    h, w = img.shape[:2]
+    if h * w >= 2**31:
+        return None
+    mag = np.empty((h, w), np.int32)
+    nms = np.empty((h, w), np.uint8)
+    lib.gradient_nms_rgb(img.ctypes.data, h, w, mag.ctypes.data, nms.ctypes.data)
+    return mag, nms.astype(bool)
+
+
+def roi_pipeline(image_rgb: np.ndarray, low: float, high: float, rc):
+    """Native ROI mask pipeline (roi_masks_device semantics, host C++).
+
+    image_rgb: (h, w, 3) uint8; rc: config.RoiConfig.
+    Returns (roi_mask, nonroi_mask) bool arrays, or None when the native
+    library is unavailable (callers fall back to the device graph).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(image_rgb, dtype=np.uint8)
+    h, w = img.shape[:2]
+    if h * w >= 2**31:
+        return None
+    ip = np.asarray(
+        [
+            rc.density_kernel, rc.thin_window, rc.thin_min_region_size,
+            rc.noise_min_size, rc.noise_window, rc.close_distance,
+            rc.bridge1_max_gap, rc.bridge_local_window,
+            rc.bridge_regional_window, rc.border_protect_kernel,
+            rc.bridge2_max_gap, rc.fill_min_hole, rc.fill_max_hole,
+            rc.clean_min_size, rc.buffer_size,
+        ],
+        np.int32,
+    )
+    fp = np.asarray(
+        [
+            low, high, rc.thin_density_threshold, rc.thin_thinness_threshold,
+            rc.noise_density_threshold, rc.bridge1_density,
+            rc.border_sensitivity,
+        ],
+        np.float32,
+    )
+    roi = np.empty((h, w), np.uint8)
+    nonroi = np.empty((h, w), np.uint8)
+    lib.roi_pipeline(
+        img.ctypes.data, h, w, ip.ctypes.data, fp.ctypes.data,
+        roi.ctypes.data, nonroi.ctypes.data,
+    )
+    return roi.astype(bool), nonroi.astype(bool)
+
+
+def slic_enforce(assign: np.ndarray, mask: np.ndarray, min_size: int):
+    """SLIC connectivity enforcement (fragment CC + BFS adoption).
+
+    assign: (h, w) int32 segment ids; mask: (h, w) bool.
+    Returns (h, w) int32 adopted fragment ids (-1 outside mask), or None when
+    the native library is unavailable (callers fall back to the device path).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(assign, dtype=np.int32)
+    m = np.ascontiguousarray(mask != 0, dtype=np.uint8)
+    if a.size >= 2**31:
+        return None
+    h, w = a.shape
+    out = np.empty((h, w), np.int32)
+    lib.slic_enforce(
+        a.ctypes.data, m.ctypes.data, h, w, int(min_size), out.ctypes.data
+    )
+    return out
+
+
+def unique_inverse_i64(keys: np.ndarray):
+    """np.unique(keys, return_inverse=True) for int64 keys via native radix
+    sort; falls back to np.unique without the library."""
+    flat = np.ascontiguousarray(keys, dtype=np.int64).reshape(-1)
+    lib = get_lib()
+    if lib is None or flat.size == 0:
+        return np.unique(flat, return_inverse=True)
+    uniq = np.empty(flat.size, np.int64)
+    inverse = np.empty(flat.size, np.int64)
+    m = lib.sort_unique_inverse(
+        flat.ctypes.data, flat.size, uniq.ctypes.data, inverse.ctypes.data
+    )
+    return uniq[:m].copy(), inverse
 
 
 def cc_label(mask: np.ndarray, connectivity: int = 8):

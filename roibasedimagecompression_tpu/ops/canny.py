@@ -373,14 +373,40 @@ def score_candidates_host(gray: np.ndarray, mag: np.ndarray, nms: np.ndarray, ca
     return best
 
 
+def _select_thresholds_native(image_rgb: np.ndarray):
+    """All-host threshold selection: native analysis + native CC scoring.
+
+    Returns (low, high) or None without the native library.  No device
+    dispatch and no tunnel transfer of the (h, w) analysis tensors.
+    """
+    from roibasedimagecompression_tpu import native
+
+    out = native.canny_analysis(image_rgb)
+    if out is None:
+        return None
+    gray, mag_g, nms_g, cands = out
+    best = score_candidates_host(gray, mag_g, nms_g, cands)
+    if best is None:
+        return None
+    return float(cands[best][0]), float(cands[best][1])
+
+
 def select_thresholds(image_rgb: np.ndarray):
-    """Adaptive threshold selection: device analysis + host CC scoring.
+    """Adaptive threshold selection: native host path when available, else
+    device analysis + host CC scoring.
 
     Returns (low, high, mag_c, nms_c) — the color gradient/NMS ride along so
-    callers can finish the final hysteresis without another device pass.
-    Falls back to the all-device scoring path when the native CC library is
-    unavailable.
+    callers can finish the final hysteresis without another device pass
+    (native ints on the host path).  Falls back to the all-device scoring
+    path when the native CC library is unavailable.
     """
+    from roibasedimagecompression_tpu import native
+
+    pair = _select_thresholds_native(image_rgb)
+    if pair is not None:
+        low, high = pair
+        mag_c, nms_c = native.gradient_nms_rgb(image_rgb)
+        return low, high, mag_c.astype(np.float32), nms_c
     out = edge_analysis(jnp.asarray(image_rgb))
     gray, cands, mag_g, nms_g, mag_c, nms_c = (np.asarray(x) for x in out)
     best = score_candidates_host(gray, mag_g, nms_g, cands)
@@ -392,16 +418,31 @@ def select_thresholds(image_rgb: np.ndarray):
 
 
 def select_thresholds_many(images: np.ndarray):
-    """Batched adaptive threshold selection: ONE device analysis call for the
-    whole (B, h, w, 3) batch, host CC scoring per image (threaded).
+    """Batched adaptive threshold selection.
+
+    Native path: per-image host analysis + scoring (single-core hosts gain
+    nothing from threads; the native chain is ~60 ms/image).  Fallback: ONE
+    device analysis call for the whole (B, h, w, 3) batch, host CC scoring
+    per image (threaded).
 
     Returns (lows (B,), highs (B,)) float32 arrays.
     """
     import concurrent.futures
 
+    b = len(images)
+    native_pairs = []
+    for k in range(b):
+        pair = _select_thresholds_native(images[k])
+        if pair is None:
+            break
+        native_pairs.append(pair)
+    if len(native_pairs) == b:
+        lows = np.asarray([p[0] for p in native_pairs], np.float32)
+        highs = np.asarray([p[1] for p in native_pairs], np.float32)
+        return lows, highs
+
     out = edge_analysis_batch(jnp.asarray(images))
     gray, cands, mag_g, nms_g = (np.asarray(x) for x in out)
-    b = len(images)
 
     def score(k):
         best = score_candidates_host(gray[k], mag_g[k], nms_g[k], cands[k])

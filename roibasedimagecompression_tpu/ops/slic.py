@@ -30,6 +30,7 @@ from roibasedimagecompression_tpu.ops import cc as CC
 from roibasedimagecompression_tpu.ops import colors as COL
 from roibasedimagecompression_tpu.ops import conv as CONV
 from roibasedimagecompression_tpu.parallel import shard as SHARD
+from roibasedimagecompression_tpu.utils.timing import stage_timer
 
 
 @functools.partial(
@@ -286,15 +287,19 @@ def slic_many(
         if len(centers_yx) > k_max:
             raise ValueError(f"SLIC center count {len(centers_yx)} exceeds {k_max}")
         metas[i] = (mask, img, centers_yx, step, area, transposed)
-        key = (_pow2(h0, minimum=64), _pow2(w0, minimum=64))
+        # Sub-bucket by center count: most regions need <= 64 centers (the
+        # logistic window law), and the dense assignment's cost is linear in
+        # the padded center count — a 4x saving over always padding to 256.
+        k_cap = 64 if len(centers_yx) <= 64 else k_max
+        key = (_pow2(h0, minimum=64), _pow2(w0, minimum=64), k_cap)
         buckets.setdefault(key, []).append(i)
 
-    for (ph, pw), ids in buckets.items():
+    for (ph, pw, k_cap), ids in buckets.items():
         bsz = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
         imgs_b = np.zeros((bsz, ph, pw, 3), np.uint8)
         masks_b = np.zeros((bsz, ph, pw), bool)
-        cyx_b = np.zeros((bsz, k_max, 2), np.int32)
-        cval_b = np.zeros((bsz, k_max), bool)
+        cyx_b = np.zeros((bsz, k_cap, 2), np.int32)
+        cval_b = np.zeros((bsz, k_cap), bool)
         steps_b = np.ones(bsz, np.float32)
         for row, i in enumerate(ids):
             mask, img, centers_yx, step, _, _ = metas[i]
@@ -306,25 +311,27 @@ def slic_many(
             cval_b[row, :k] = True
             steps_b[row] = step
 
-        assign_b = np.asarray(
-            _slic_core_batch(
-                SHARD.shard_rows(imgs_b, mesh),
-                SHARD.shard_rows(masks_b, mesh),
-                SHARD.shard_rows(cyx_b, mesh),
-                SHARD.shard_rows(cval_b, mesh),
-                SHARD.shard_rows(steps_b, mesh),
-                n_centers=k_max,
-                iters=iters,
-                compactness=float(compactness),
-                sigma=float(sigma),
-                chunk=min(16384, ph * pw),
+        with stage_timer("slic.core"):
+            assign_b = np.asarray(
+                _slic_core_batch(
+                    SHARD.shard_rows(imgs_b, mesh),
+                    SHARD.shard_rows(masks_b, mesh),
+                    SHARD.shard_rows(cyx_b, mesh),
+                    SHARD.shard_rows(cval_b, mesh),
+                    SHARD.shard_rows(steps_b, mesh),
+                    n_centers=k_cap,
+                    iters=iters,
+                    compactness=float(compactness),
+                    sigma=float(sigma),
+                    chunk=min(16384, ph * pw),
+                )
             )
-        )
 
         if enforce_connectivity:
-            labels_rows = _enforce_connectivity_bucket(
-                assign_b, masks_b, ids, metas, min_size_factor, mesh
-            )
+            with stage_timer("slic.conn"):
+                labels_rows = _enforce_connectivity_bucket(
+                    assign_b, masks_b, ids, metas, min_size_factor, mesh
+                )
         else:
             labels_rows = [assign_b[row] for row in range(len(ids))]
 
@@ -345,13 +352,32 @@ def _enforce_connectivity_bucket(assign_b, masks_b, ids, metas, min_size_factor,
     fragments, absorb small ones into neighbors (skimage
     _enforce_label_connectivity_cython behavior).
 
-    One fragment-labeling device call + one adoption call for the bucket; the
-    keep/compact bookkeeping in between is cheap host numpy.
+    Authoritative path: the native host runtime (union-find fragments +
+    multi-source BFS adoption, threaded across the bucket rows) — the arrays
+    live on host either side of this step, and the device variant costs
+    O(fragment diameter) sequential stencil sweeps.  Device fragment+adopt
+    calls remain as the fallback when the native library is unavailable.
     """
     b = len(ids)
-    frag_b = np.asarray(
-        _fragments_batch(SHARD.shard_rows(assign_b, mesh), SHARD.shard_rows(masks_b, mesh))
-    )
+    from roibasedimagecompression_tpu import native
+
+    if native.available():
+        import concurrent.futures
+
+        def one(row):
+            i = ids[row]
+            mask, _, centers_yx, _, area, _ = metas[i]
+            min_size = max(1, int(min_size_factor * area / len(centers_yx)))
+            return native.slic_enforce(assign_b[row], masks_b[row], min_size)
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+            rows = list(pool.map(one, range(b)))
+        if all(r is not None for r in rows):
+            return rows
+    with stage_timer("slic.frag"):
+        frag_b = np.asarray(
+            _fragments_batch(SHARD.shard_rows(assign_b, mesh), SHARD.shard_rows(masks_b, mesh))
+        )
 
     compact_b = np.zeros(assign_b.shape, np.int32)
     keep_b = np.zeros(assign_b.shape, bool)
@@ -370,11 +396,12 @@ def _enforce_connectivity_bucket(assign_b, masks_b, ids, metas, min_size_factor,
         compact_b[row][fg] = inv
         keep_b[row][fg] = keep_frag[inv]
 
-    adopted_b = np.asarray(
-        _adopt_batch(
-            SHARD.shard_rows(compact_b, mesh),
-            SHARD.shard_rows(keep_b, mesh),
-            SHARD.shard_rows(masks_b, mesh),
+    with stage_timer("slic.adopt"):
+        adopted_b = np.asarray(
+            _adopt_batch(
+                SHARD.shard_rows(compact_b, mesh),
+                SHARD.shard_rows(keep_b, mesh),
+                SHARD.shard_rows(masks_b, mesh),
+            )
         )
-    )
     return [adopted_b[row] for row in range(b)]

@@ -31,6 +31,7 @@ from roibasedimagecompression_tpu.models import codec as CODEC
 from roibasedimagecompression_tpu.models import quantize_batched as QB
 from roibasedimagecompression_tpu.models import roi_fused as RF
 from roibasedimagecompression_tpu.models import segment as SEG
+from roibasedimagecompression_tpu.utils.timing import stage_timer
 
 
 @functools.partial(jax.jit, static_argnames=("rc",))
@@ -72,66 +73,86 @@ def encode_many(
         from roibasedimagecompression_tpu.ops import canny as CANNY
 
         # Hybrid threshold selection for the whole batch (one device call +
-        # threaded host CC scoring), then the fused mask graph.
-        lows, highs = CANNY.select_thresholds_many(batch)
-        if mesh is not None:
+        # threaded host CC scoring), then the mask pipeline.
+        with stage_timer("s.thresholds"):
+            lows, highs = CANNY.select_thresholds_many(batch)
+        from roibasedimagecompression_tpu import native as NATIVE
+
+        if NATIVE.available():
+            # Native mask pipeline, threaded across the batch (the chain is
+            # CC-dominated host work; see roi_fused.roi_masks_fast).  Used on
+            # mesh runs too — sharded == unsharded stays byte-identical
+            # because every arm picks the same backend.
+            with stage_timer("s.roi_masks"):
+                def one_mask(k):
+                    return RF.roi_masks_fast(batch[k], config, lows[k], highs[k])
+
+                with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+                    masks = list(pool.map(one_mask, range(b)))
+                roi_masks = np.stack([m[0] for m in masks])
+                nonroi_masks = np.stack([m[1] for m in masks])
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            x = jax.device_put(
-                jnp.asarray(batch), NamedSharding(mesh, P("data"))
-            )
-            lo = jax.device_put(jnp.asarray(lows), NamedSharding(mesh, P("data")))
-            hi = jax.device_put(jnp.asarray(highs), NamedSharding(mesh, P("data")))
-            with mesh:
-                rm, nm = _roi_masks_batch(x, lo, hi, config.roi)
-            roi_masks, nonroi_masks = np.asarray(rm), np.asarray(nm)
+            with stage_timer("s.roi_masks"):
+                x = jax.device_put(
+                    jnp.asarray(batch), NamedSharding(mesh, P("data"))
+                )
+                lo = jax.device_put(jnp.asarray(lows), NamedSharding(mesh, P("data")))
+                hi = jax.device_put(jnp.asarray(highs), NamedSharding(mesh, P("data")))
+                with mesh:
+                    rm, nm = _roi_masks_batch(x, lo, hi, config.roi)
+                roi_masks, nonroi_masks = np.asarray(rm), np.asarray(nm)
         else:
             import os
 
             default_chunk = 2 if jax.default_backend() == "tpu" else 64
             chunk = int(os.environ.get("RHCCQ_ROI_BATCH", default_chunk))
-            try:
-                rms, nms = [], []
-                for s in range(0, b, chunk):
-                    part = batch[s : s + chunk]
-                    if len(part) == 1:
-                        rm, nm = RF.roi_masks_device(
-                            jnp.asarray(part[0]), config.roi,
-                            jnp.float32(lows[s]), jnp.float32(highs[s]),
-                        )
-                        rms.append(np.asarray(rm)[None])
-                        nms.append(np.asarray(nm)[None])
-                    else:
-                        rm, nm = _roi_masks_batch(
-                            jnp.asarray(part),
-                            jnp.asarray(lows[s : s + chunk]),
-                            jnp.asarray(highs[s : s + chunk]),
-                            config.roi,
-                        )
-                        rms.append(np.asarray(rm))
-                        nms.append(np.asarray(nm))
-                roi_masks = np.concatenate(rms)
-                nonroi_masks = np.concatenate(nms)
-            except Exception:
-                # Per-image graph fallback (works for transient faults; a
-                # dead TPU worker is unrecoverable either way).
-                masks = [RF.roi_masks(batch[k], config) for k in range(b)]
-                roi_masks = np.stack([m[0] for m in masks])
-                nonroi_masks = np.stack([m[1] for m in masks])
+            with stage_timer("s.roi_masks"):
+                try:
+                    rms, nms = [], []
+                    for s in range(0, b, chunk):
+                        part = batch[s : s + chunk]
+                        if len(part) == 1:
+                            rm, nm = RF.roi_masks_device(
+                                jnp.asarray(part[0]), config.roi,
+                                jnp.float32(lows[s]), jnp.float32(highs[s]),
+                            )
+                            rms.append(np.asarray(rm)[None])
+                            nms.append(np.asarray(nm)[None])
+                        else:
+                            rm, nm = _roi_masks_batch(
+                                jnp.asarray(part),
+                                jnp.asarray(lows[s : s + chunk]),
+                                jnp.asarray(highs[s : s + chunk]),
+                                config.roi,
+                            )
+                            rms.append(np.asarray(rm))
+                            nms.append(np.asarray(nm))
+                    roi_masks = np.concatenate(rms)
+                    nonroi_masks = np.concatenate(nms)
+                except Exception:
+                    # Per-image graph fallback (works for transient faults; a
+                    # dead TPU worker is unrecoverable either way).
+                    masks = [RF.roi_masks(batch[k], config) for k in range(b)]
+                    roi_masks = np.stack([m[0] for m in masks])
+                    nonroi_masks = np.stack([m[1] for m in masks])
 
     # 2. Batched segmentation -> one stacked tall segment map.  All regions
     #    of all images pool into the same shape-bucketed split-score / SLIC
     #    device batches (build_segment_maps_many).
-    regions_per_image = []
-    for k in range(b):
-        regions_per_image.append(
-            CODEC._extract_and_assign(
-                batch[k], roi_masks[k], nonroi_masks[k], config, min_size
+    with stage_timer("s.extract"):
+        regions_per_image = []
+        for k in range(b):
+            regions_per_image.append(
+                CODEC._extract_and_assign(
+                    batch[k], roi_masks[k], nonroi_masks[k], config, min_size
+                )
             )
+    with stage_timer("s.segment"):
+        seg_results = CODEC.build_segment_maps_many(
+            [batch[k] for k in range(b)], regions_per_image, config, mesh=mesh
         )
-    seg_results = CODEC.build_segment_maps_many(
-        [batch[k] for k in range(b)], regions_per_image, config, mesh=mesh
-    )
     seg_maps = []
     qualities = [np.zeros(1)]
     groups_list = [np.zeros(1, np.int32)]
@@ -149,10 +170,11 @@ def encode_many(
     seg_group = np.concatenate(groups_list)
 
     # 3. ONE tier-1 pass across every segment of every image.
-    t1_tall = QB.tier1_colors(
-        tall_img, tall_seg, seg_quality, seed=config.seed,
-        weighted=config.weighted_palette, mesh=mesh,
-    )
+    with stage_timer("s.tier1"):
+        t1_tall = QB.tier1_colors(
+            tall_img, tall_seg, seg_quality, seed=config.seed,
+            weighted=config.weighted_palette, mesh=mesh,
+        )
 
     # 4. Tiers 2/3 for ALL images in two batched clustering calls.
     t1_list = [t1_tall[k * h : (k + 1) * h] for k in range(b)]
@@ -164,7 +186,8 @@ def encode_many(
         )
         for k in range(b)
     ]
-    _, t3_list = CODEC.tiers23_colors_many(t1_list, group_maps, config, mesh=mesh)
+    with stage_timer("s.tier23"):
+        _, t3_list = CODEC.tiers23_colors_many(t1_list, group_maps, config, mesh=mesh)
 
     # 5. Container packing: host DEFLATE parallelized in a thread pool (zlib
     #    releases the GIL; device work is already done at this point).
@@ -175,8 +198,9 @@ def encode_many(
         return container.pack(palette, indices.reshape(h, w))
 
     results: list = [None] * b
-    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
-        futures = {pool.submit(finish, k): k for k in range(b)}
-        for fut in concurrent.futures.as_completed(futures):
-            results[futures[fut]] = fut.result()
+    with stage_timer("s.container"):
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+            futures = {pool.submit(finish, k): k for k in range(b)}
+            for fut in concurrent.futures.as_completed(futures):
+                results[futures[fut]] = fut.result()
     return results

@@ -1,0 +1,117 @@
+"""Tests for the native host runtime additions (round 2 performance work):
+the C++ ROI mask pipeline and the SLIC connectivity enforcement.
+
+Both are authoritative on the encode paths when the library is available, so
+they are pinned (a) against the device graphs they replace (tolerance: the
+box-filter densities accumulate in a different order than the XLA conv, so a
+handful of borderline threshold pixels may flip) and (b) against hand-built
+oracles for their discrete semantics.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from roibasedimagecompression_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def lenna128():
+    from roibasedimagecompression_tpu.io import image_io
+
+    return image_io.imread_rgb("/root/reference/images/png/Lenna.png")[::4, ::4]
+
+
+def test_native_roi_pipeline_matches_device(lenna128):
+    """Native C++ mask chain vs the fused device graph: >= 99.9% agreement."""
+    from roibasedimagecompression_tpu.config import RoiConfig
+    from roibasedimagecompression_tpu.models import roi_fused as RF
+    from roibasedimagecompression_tpu.ops import canny as CANNY
+
+    rc = RoiConfig()
+    low, high, _, _ = CANNY.select_thresholds(lenna128)
+    rn, nn = native.roi_pipeline(lenna128, low, high, rc)
+    rd, nd = (
+        np.asarray(x)
+        for x in RF.roi_masks_device(
+            jnp.asarray(lenna128), rc, jnp.float32(low), jnp.float32(high)
+        )
+    )
+    assert (rn == rd).mean() > 0.999
+    assert (nn == nd).mean() > 0.999
+
+
+def test_native_roi_pipeline_shapes_and_cover():
+    """ROI and non-ROI masks must cover the image (buffer overlap allowed)."""
+    from roibasedimagecompression_tpu.config import RoiConfig
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (80, 120, 3), dtype=np.uint8)
+    roi, nonroi = native.roi_pipeline(img, 50.0, 120.0, RoiConfig())
+    assert roi.shape == (80, 120) and roi.dtype == bool
+    assert (roi | nonroi).all()
+
+
+def test_native_slic_enforce_absorbs_small_fragment():
+    """A fragment below min_size is adopted by the nearest kept fragment."""
+    assign = np.zeros((8, 12), np.int32)
+    assign[:, 6:] = 1
+    # A 2-pixel island of segment 1 inside segment 0's area: same segment id
+    # but disconnected -> its own fragment.
+    assign[3, 1] = 1
+    assign[3, 2] = 1
+    mask = np.ones((8, 12), bool)
+    out = native.slic_enforce(assign, mask, min_size=4)
+    assert out is not None
+    # The island joined the surrounding fragment (segment 0's fragment).
+    assert out[3, 1] == out[0, 0]
+    assert out[3, 2] == out[0, 0]
+    # The two big fragments stay distinct.
+    assert out[0, 0] != out[0, 11]
+
+
+def test_native_slic_enforce_keeps_largest_when_all_small():
+    assign = np.arange(6, dtype=np.int32).reshape(1, 6).repeat(2, axis=0)
+    assign[1] = assign[0]
+    mask = np.ones((2, 6), bool)
+    mask[:, 5] = False
+    out = native.slic_enforce(assign, mask, min_size=100)
+    assert out is not None
+    inside = out[mask]
+    assert len(np.unique(inside)) == 1  # everything adopted by the largest
+    assert (out[~mask] == -1).all()
+
+
+def test_native_slic_enforce_respects_mask_geodesic():
+    """Adoption never crosses the mask: a small fragment in a separated
+    region keeps its own label."""
+    assign = np.zeros((5, 9), np.int32)
+    assign[:, 6:] = 7
+    mask = np.ones((5, 9), bool)
+    mask[:, 4:6] = False  # wall between the two areas
+    out = native.slic_enforce(assign, mask, min_size=10)
+    # Right-side fragment (size 15 >= 10? 5*3=15 -> kept).  Make it small:
+    out2 = native.slic_enforce(assign, mask, min_size=16)
+    # Left side (20 px) is the largest kept; right side unreachable -> keeps
+    # its own fragment id rather than adopting across the wall.
+    right = out2[0, 6]
+    assert (out2[:, 6:] == right).all()
+    assert right != out2[0, 0]
+    assert out is not None
+
+
+def test_native_roi_pipeline_wired_into_encode(lenna128):
+    """encode_many and single batched encode produce identical bytes with the
+    native ROI backend (the uniform-backend contract)."""
+    import roibasedimagecompression_tpu as rtc
+    from roibasedimagecompression_tpu.parallel import stream
+
+    img = lenna128[:96, :96]
+    batch = stream.encode_many([img], rtc.CodecConfig())
+    single = rtc.encode(img, rtc.CodecConfig())
+    assert batch[0] == single
