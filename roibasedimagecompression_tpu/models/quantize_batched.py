@@ -159,19 +159,26 @@ def _bucketize(sizes: np.ndarray, caps) -> dict:
 
 
 def _pad_batch(b: int) -> int:
-    """Round the problem count up to a power of FOUR so the vmapped kernels
-    compile once per (batch_bucket, size_bucket) instead of once per image."""
+    """Round the problem count up: pow2 to 32, then multiples of 32.
+
+    Was pow4 — padding (say) 300 eps-CC problems to 1024 tripled the batched
+    kernel's real work.  The tiered grid caps pad waste at ~11% while keeping
+    the compiled batch-shape count small (all persistent-cached)."""
     p = 1
-    while p < b:
-        p *= 4
-    return p
+    while p < b and p < 32:
+        p *= 2
+    if p >= b:
+        return p
+    return -(-b // 32) * 32
 
 
 def _pad_kmax(k: int) -> int:
-    """Quantize k_max to powers of four — bounds the distinct kernel shapes."""
+    """Quantize k_max to powers of two — bounds the distinct kernel shapes
+    (was pow4, which padded k=40 to 128; the k-means++ init is sequential in
+    k_max, so k padding is latency, not just flops)."""
     p = 2
     while p < k:
-        p *= 4
+        p *= 2
     return p
 
 
@@ -248,18 +255,21 @@ def tier1_colors(
         big = np.flatnonzero(sizes >= cfg.KMEANS_SWITCH_COLORS)
         small_sizes = sizes.copy()
         small_sizes[big] = 0  # excluded from buckets
+        # Dispatch all buckets, then collect (overlaps device round-trips).
+        pending = []
         for cap, ids in _bucketize(small_sizes, list(_BUCKETS)).items():
             pts, valid, pair_idx = _gather_bucket(ids, starts, sizes, colors, cap, mesh=mesh)
             eps_b = np.ones(len(pts), np.float32)
             eps_b[: len(ids)] = eps[ids]
-            labels = np.asarray(
-                _eps_components_batched(
-                    SHARD.shard_rows(pts, mesh),
-                    SHARD.shard_rows(eps_b, mesh),
-                    SHARD.shard_rows(valid, mesh),
-                    chunk=min(512, cap),
-                )
+            result = _eps_components_batched(
+                SHARD.shard_rows(pts, mesh),
+                SHARD.shard_rows(eps_b, mesh),
+                SHARD.shard_rows(valid, mesh),
+                chunk=min(512, cap),
             )
+            pending.append((cap, ids, valid, pair_idx, result))
+        for cap, ids, valid, pair_idx, result in pending:
+            labels = np.asarray(result)
             # Row-local min-index labels -> globally unique keys.
             row_valid = valid[: len(ids)]
             keys = key_base + np.arange(len(ids), dtype=np.int64)[:, None] * (cap + 1) + labels[: len(ids)]
@@ -380,20 +390,23 @@ def cluster_color_maps_many(
         big = np.flatnonzero(nb_sizes >= cfg.KMEANS_SWITCH_COLORS)
         small_sizes = nb_sizes.copy()
         small_sizes[big] = 0
+        # Dispatch all buckets, then collect (overlaps device round-trips).
+        pending = []
         for cap, ids in _bucketize(small_sizes, list(_BUCKETS)).items():
             pts, valid, pair_idx = _gather_bucket(
                 ids, nb_starts, nb_sizes, colors, cap, mesh=mesh
             )
             eps_b = np.ones(len(pts), np.float32)
             eps_b[: len(ids)] = eps[ids]
-            labels = np.asarray(
-                _eps_components_batched(
-                    SHARD.shard_rows(pts, mesh),
-                    SHARD.shard_rows(eps_b, mesh),
-                    SHARD.shard_rows(valid, mesh),
-                    chunk=min(512, cap),
-                )
+            result = _eps_components_batched(
+                SHARD.shard_rows(pts, mesh),
+                SHARD.shard_rows(eps_b, mesh),
+                SHARD.shard_rows(valid, mesh),
+                chunk=min(512, cap),
             )
+            pending.append((cap, ids, valid, pair_idx, result))
+        for cap, ids, valid, pair_idx, result in pending:
+            labels = np.asarray(result)
             row_valid = valid[: len(ids)]
             new_keys = (
                 key_base
@@ -484,32 +497,36 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
             lab = CL.kmeans_host(colors[order[s : s + m]], int(ks[row]), seed=seed)
             cluster_of_pair[order[s : s + m]] = key_base + lab
             key_base += np.int64(lab.max()) + 1
-        for cap, rows in _bucketize(sizes[oversized], caps).items():
-            ids = oversized[rows]
-            pts, valid, pair_idx = _gather_bucket(
-                ids, starts, sizes, colors, cap, order=order, mesh=mesh
-            )
-            k_max = _pad_kmax(int(ks[rows].max()))
-            ks_b = np.ones(len(pts), np.int32)
-            ks_b[: len(ids)] = ks[rows]
-            with stage_timer("split.kmeans"):
-                labels = np.asarray(
-                    _kmeans_batched(
-                        SHARD.shard_rows(pts, mesh),
-                        SHARD.shard_rows(valid, mesh),
-                        SHARD.shard_rows(ks_b, mesh),
-                        k_max=int(k_max),
-                        # Oversized-split problems are small and near-separable
-                        # (a cluster marginally above its size cap): Lloyd is
-                        # within noise of converged after ~10 rounds, and the
-                        # split only bounds cluster SIZE, not the final palette
-                        # (means are recomputed from the split labels).
-                        iters=10,
-                        seed=seed,
-                        chunk=min(2048, cap),
-                        plusplus=k_max <= 256,
-                    )
+        # Dispatch all buckets, then collect (overlaps device round-trips).
+        pending = []
+        with stage_timer("split.kmeans"):
+            for cap, rows in _bucketize(sizes[oversized], caps).items():
+                ids = oversized[rows]
+                pts, valid, pair_idx = _gather_bucket(
+                    ids, starts, sizes, colors, cap, order=order, mesh=mesh
                 )
+                k_max = _pad_kmax(int(ks[rows].max()))
+                ks_b = np.ones(len(pts), np.int32)
+                ks_b[: len(ids)] = ks[rows]
+                result = _kmeans_batched(
+                    SHARD.shard_rows(pts, mesh),
+                    SHARD.shard_rows(valid, mesh),
+                    SHARD.shard_rows(ks_b, mesh),
+                    k_max=int(k_max),
+                    # Oversized-split problems are small and near-separable
+                    # (a cluster marginally above its size cap): Lloyd is
+                    # within noise of converged after ~10 rounds, and the
+                    # split only bounds cluster SIZE, not the final palette
+                    # (means are recomputed from the split labels).
+                    iters=10,
+                    seed=seed,
+                    chunk=min(2048, cap),
+                    plusplus=k_max <= 256,
+                )
+                pending.append((ids, valid, pair_idx, k_max, result))
+        for ids, valid, pair_idx, k_max, result in pending:
+            with stage_timer("split.kmeans"):
+                labels = np.asarray(result)
             row_valid = valid[: len(ids)]
             keys = (
                 key_base

@@ -91,6 +91,11 @@ def get_lib():
         lib.sort_unique_inverse.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.score_candidates.restype = ctypes.c_int32
+        lib.score_candidates.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+        ]
         _lib = lib
         return _lib
 
@@ -164,6 +169,30 @@ def canny_analysis(image_rgb: np.ndarray):
         nms.ctypes.data, cands.ctypes.data,
     )
     return gray, mag, nms.astype(bool), cands
+
+
+def score_candidates(gray: np.ndarray, mag: np.ndarray, nms: np.ndarray,
+                     cands: np.ndarray):
+    """Best (low, high) candidate index via the one-call native scorer.
+
+    Returns int index or None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    g = np.ascontiguousarray(gray, dtype=np.uint8)
+    m = np.ascontiguousarray(mag, dtype=np.int32)
+    nm = np.ascontiguousarray(nms != 0, dtype=np.uint8)
+    c = np.ascontiguousarray(cands, dtype=np.float32)
+    h, w = g.shape
+    if h * w >= 2**31:
+        return None
+    return int(
+        lib.score_candidates(
+            g.ctypes.data, m.ctypes.data, nm.ctypes.data, h, w,
+            c.ctypes.data, c.shape[0],
+        )
+    )
 
 
 def gradient_nms_rgb(image_rgb: np.ndarray):

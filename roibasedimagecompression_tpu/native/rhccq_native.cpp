@@ -982,6 +982,148 @@ void gradient_nms_rgb(const uint8_t* rgb, int32_t h, int32_t w, int32_t* mag,
   roi::gradient_nms(rgb, h, w, 3, mag, nms);
 }
 
+// Score all (low, high) candidates in one call (evaluate_edge_quality,
+// encoder/ROI/edges.py:73-85): per candidate, hysteresis components of the
+// weak graph that contain a strong pixel; score = mean kept-component size
+// x population std of gray at kept-edge pixels.  First best wins (strict >).
+// Returns the best candidate index, or 0 when nothing scores.
+int32_t score_candidates(const uint8_t* gray, const int32_t* mag,
+                         const uint8_t* nms, int32_t h, int32_t w,
+                         const float* cands, int32_t n_cands) {
+  // Incremental (Kruskal-style) evaluation: activate NMS pixels in DESCENDING
+  // magnitude order; the weak graph at threshold `low` is exactly the active
+  // set after all pixels with mag > low joined.  Candidates group by their
+  // low value (processed descending), each snapshot scores its highs against
+  // the live component roots.  One amortized union-find pass covers all 20
+  // candidates; gray sums are integer-valued doubles (< 2^53), so the scores
+  // match the per-candidate reference evaluation bit-for-bit.
+  const int64_t n = static_cast<int64_t>(h) * w;
+  const int32_t MAXMAG = 8 * 255 + 1;  // L1 sobel magnitude bound
+  // Counting sort of NMS pixels by magnitude, descending.
+  std::vector<int32_t> counts(MAXMAG + 1, 0);
+  int64_t n_nms = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (nms[i]) {
+      ++counts[mag[i]];
+      ++n_nms;
+    }
+  std::vector<int64_t> start(MAXMAG + 2, 0);
+  // order[] holds pixel ids sorted by descending mag.
+  int64_t acc = 0;
+  for (int32_t v = MAXMAG; v >= 0; --v) {
+    start[v] = acc;
+    acc += counts[v];
+  }
+  std::vector<int32_t> order(n_nms);
+  {
+    std::vector<int64_t> pos(MAXMAG + 1);
+    for (int32_t v = 0; v <= MAXMAG; ++v) pos[v] = start[v];
+    for (int64_t i = 0; i < n; ++i)
+      if (nms[i]) order[pos[mag[i]]++] = static_cast<int32_t>(i);
+  }
+
+  std::vector<int32_t> parent(n, -1);  // -1 = inactive
+  std::vector<int64_t> csize(n, 0);
+  std::vector<double> cs(n, 0.0), cs2(n, 0.0);
+  std::vector<int32_t> cmax(n, 0);
+  std::vector<int32_t> roots;
+  roots.reserve(1 << 16);
+
+  auto rfind = [&](int32_t x) {
+    int32_t root = x;
+    while (parent[root] != root) root = parent[root];
+    while (parent[x] != root) {
+      const int32_t nx = parent[x];
+      parent[x] = root;
+      x = nx;
+    }
+    return root;
+  };
+
+  // Candidate lows, distinct, descending.
+  std::vector<int32_t> cand_order(n_cands);
+  for (int32_t k = 0; k < n_cands; ++k) cand_order[k] = k;
+  std::sort(cand_order.begin(), cand_order.end(), [&](int32_t a, int32_t b) {
+    return cands[2 * a] > cands[2 * b];
+  });
+
+  std::vector<double> scores(n_cands, -1.0);
+  std::vector<uint8_t> valid(n_cands, 0);
+
+  int64_t next_pix = 0;
+  int32_t ci = 0;
+  while (ci < n_cands) {
+    const float low = cands[2 * cand_order[ci]];
+    // Activate all pixels with mag > low.
+    while (next_pix < n_nms &&
+           static_cast<float>(mag[order[next_pix]]) > low) {
+      const int32_t p = order[next_pix++];
+      parent[p] = p;
+      csize[p] = 1;
+      const double g = gray[p];
+      cs[p] = g;
+      cs2[p] = g * g;
+      cmax[p] = mag[p];
+      roots.push_back(p);
+      const int32_t r = p / w, c = p % w;
+      for (int dr = -1; dr <= 1; ++dr) {
+        for (int dc = -1; dc <= 1; ++dc) {
+          if (!dr && !dc) continue;
+          const int32_t rr = r + dr, cc = c + dc;
+          if (rr < 0 || rr >= h || cc < 0 || cc >= w) continue;
+          const int32_t q = rr * w + cc;
+          if (parent[q] < 0) continue;
+          const int32_t ra = rfind(p), rb = rfind(q);
+          if (ra == rb) continue;
+          const int32_t keep = ra < rb ? ra : rb, dead = ra < rb ? rb : ra;
+          parent[dead] = keep;
+          csize[keep] += csize[dead];
+          cs[keep] += cs[dead];
+          cs2[keep] += cs2[dead];
+          if (cmax[dead] > cmax[keep]) cmax[keep] = cmax[dead];
+        }
+      }
+    }
+    // Compact the alive-roots list once per snapshot.
+    size_t out = 0;
+    for (size_t i = 0; i < roots.size(); ++i)
+      if (parent[roots[i]] == roots[i]) roots[out++] = roots[i];
+    roots.resize(out);
+    // Score every candidate sharing this low.
+    while (ci < n_cands && cands[2 * cand_order[ci]] == low) {
+      const int32_t k = cand_order[ci++];
+      const float high = cands[2 * k + 1];
+      int64_t n_comp = 0, n_edge = 0;
+      double s = 0.0, s2 = 0.0;
+      for (const int32_t rt : roots) {
+        if (static_cast<float>(cmax[rt]) > high) {
+          ++n_comp;
+          n_edge += csize[rt];
+          s += cs[rt];
+          s2 += cs2[rt];
+        }
+      }
+      if (n_comp == 0) continue;
+      const double mu = s / n_edge;
+      const double var = s2 / n_edge - mu * mu;
+      const double contrast = std::sqrt(var > 0.0 ? var : 0.0);
+      scores[k] = (static_cast<double>(n_edge) / n_comp) * contrast;
+      valid[k] = 1;
+    }
+  }
+  int32_t best = 0;
+  double best_score = -1.0;
+  bool any = false;
+  for (int32_t k = 0; k < n_cands; ++k) {
+    if (valid[k] && scores[k] > best_score) {
+      best_score = scores[k];
+      best = k;
+      any = true;
+    }
+  }
+  return any ? best : 0;
+}
+
 // ---------------------------------------------------------------------------
 // Sort-unique with inverse for int64 keys (np.unique(return_inverse=True)
 // replacement).  The tier-1 pair table packs (segment, color) into int64 keys

@@ -385,7 +385,9 @@ def _select_thresholds_native(image_rgb: np.ndarray):
     if out is None:
         return None
     gray, mag_g, nms_g, cands = out
-    best = score_candidates_host(gray, mag_g, nms_g, cands)
+    best = native.score_candidates(gray, mag_g, nms_g, cands)
+    if best is None:
+        best = score_candidates_host(gray, mag_g, nms_g, cands)
     if best is None:
         return None
     return float(cands[best][0]), float(cands[best][1])

@@ -160,20 +160,26 @@ def _adopt_batch(labels, keeps, masks):
     return jax.vmap(CC.adopt_labels)(labels, keeps, masks)
 
 
-def _pow2(n: int, minimum: int = 32) -> int:
+def _pad_dim(n: int, minimum: int = 64) -> int:
+    """Shape-bucket a spatial dim: powers of two up to 256, then multiples of
+    128.  Measured on the chip: the dominant Kodak bucket is ~537x358 working
+    resolution, and pow2 padding to (1024, 512) made the SLIC core 2.4x
+    slower than (576, 384) — padded pixels are real work.  The multiple-of-
+    128 grid keeps the compiled-shape count small (dims <= ~1024 => <= 9
+    values) while capping pad waste at ~25%."""
     b = minimum
-    while b < n:
+    while b < n and b < 256:
         b *= 2
-    return b
+    if b >= n:
+        return b
+    return -(-n // 128) * 128
 
 
 def _pad_batch(b: int) -> int:
-    """Round batch counts up to powers of four, minimum 4 (bounds compiled
-    shapes; remote TPU compiles cost minutes, padded rows cost microseconds)."""
-    p = 4
-    while p < b:
-        p *= 4
-    return p
+    """Round batch counts up to a multiple of four (was pow4: padding 9 rows
+    to 16 cost 1.3x measured kernel time; multiples of 4 bound the compiled
+    batch shapes at ~4x more variants, all persistent-cached)."""
+    return max(4, -(-b // 4) * 4)
 
 
 def _prepare_centers(mask: np.ndarray, n_segments: int):
@@ -291,42 +297,48 @@ def slic_many(
         # logistic window law), and the dense assignment's cost is linear in
         # the padded center count — a 4x saving over always padding to 256.
         k_cap = 64 if len(centers_yx) <= 64 else k_max
-        key = (_pow2(h0, minimum=64), _pow2(w0, minimum=64), k_cap)
+        key = (_pad_dim(h0), _pad_dim(w0), k_cap)
         buckets.setdefault(key, []).append(i)
 
-    for (ph, pw, k_cap), ids in buckets.items():
-        bsz = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
-        imgs_b = np.zeros((bsz, ph, pw, 3), np.uint8)
-        masks_b = np.zeros((bsz, ph, pw), bool)
-        cyx_b = np.zeros((bsz, k_cap, 2), np.int32)
-        cval_b = np.zeros((bsz, k_cap), bool)
-        steps_b = np.ones(bsz, np.float32)
-        for row, i in enumerate(ids):
-            mask, img, centers_yx, step, _, _ = metas[i]
-            h0, w0 = mask.shape
-            imgs_b[row, :h0, :w0] = img
-            masks_b[row, :h0, :w0] = mask
-            k = len(centers_yx)
-            cyx_b[row, :k] = centers_yx
-            cval_b[row, :k] = True
-            steps_b[row] = step
+    # Dispatch every bucket's core call first (JAX dispatch is async), then
+    # collect + enforce connectivity — the per-call device round-trip latency
+    # overlaps across buckets instead of serializing.
+    pending = []
+    with stage_timer("slic.core"):
+        for (ph, pw, k_cap), ids in buckets.items():
+            bsz = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
+            imgs_b = np.zeros((bsz, ph, pw, 3), np.uint8)
+            masks_b = np.zeros((bsz, ph, pw), bool)
+            cyx_b = np.zeros((bsz, k_cap, 2), np.int32)
+            cval_b = np.zeros((bsz, k_cap), bool)
+            steps_b = np.ones(bsz, np.float32)
+            for row, i in enumerate(ids):
+                mask, img, centers_yx, step, _, _ = metas[i]
+                h0, w0 = mask.shape
+                imgs_b[row, :h0, :w0] = img
+                masks_b[row, :h0, :w0] = mask
+                k = len(centers_yx)
+                cyx_b[row, :k] = centers_yx
+                cval_b[row, :k] = True
+                steps_b[row] = step
 
-        with stage_timer("slic.core"):
-            assign_b = np.asarray(
-                _slic_core_batch(
-                    SHARD.shard_rows(imgs_b, mesh),
-                    SHARD.shard_rows(masks_b, mesh),
-                    SHARD.shard_rows(cyx_b, mesh),
-                    SHARD.shard_rows(cval_b, mesh),
-                    SHARD.shard_rows(steps_b, mesh),
-                    n_centers=k_cap,
-                    iters=iters,
-                    compactness=float(compactness),
-                    sigma=float(sigma),
-                    chunk=min(16384, ph * pw),
-                )
+            result = _slic_core_batch(
+                SHARD.shard_rows(imgs_b, mesh),
+                SHARD.shard_rows(masks_b, mesh),
+                SHARD.shard_rows(cyx_b, mesh),
+                SHARD.shard_rows(cval_b, mesh),
+                SHARD.shard_rows(steps_b, mesh),
+                n_centers=k_cap,
+                iters=iters,
+                compactness=float(compactness),
+                sigma=float(sigma),
+                chunk=min(16384, ph * pw),
             )
+            pending.append((ids, masks_b, result))
 
+    for ids, masks_b, result in pending:
+        with stage_timer("slic.core"):
+            assign_b = np.asarray(result)
         if enforce_connectivity:
             with stage_timer("slic.conn"):
                 labels_rows = _enforce_connectivity_bucket(
