@@ -131,9 +131,12 @@ def _black_repair_pairs(seg_of_pair, color_of_pair, inverse):
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def _eps_components_batched(points, eps, valid, chunk):
-    return jax.vmap(
+    labels = jax.vmap(
         lambda p, e, v: CL.eps_components(p, e, v, None, chunk=chunk)
     )(points, eps, valid)
+    # uint16 return (labels <= cap <= 9999; invalid rows get cap): the
+    # tunneled chip downloads at ~22 MB/s, so label bytes are wall-clock.
+    return labels.astype(jnp.uint16)
 
 
 @functools.partial(jax.jit, static_argnames=("k_max", "iters", "chunk", "plusplus"))
@@ -145,7 +148,8 @@ def _kmeans_batched(points, valid, ks, k_max, iters, seed, chunk, plusplus):
         )
         return labels
 
-    return jax.vmap(one)(points, valid, ks)
+    # uint16: labels < k_max <= 65536 (see _eps_components_batched note).
+    return jax.vmap(one)(points, valid, ks).astype(jnp.uint16)
 
 
 def _bucketize(sizes: np.ndarray, caps) -> dict:

@@ -232,21 +232,24 @@ def split_scores_many(crops: list, masks: list, mesh=None) -> list:
         # buckets instead of serializing it.
         pending = []
         for (ph, pw), ids in buckets.items():
-            bsz = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
-            rgb_b = np.zeros((bsz, ph, pw, 3), np.uint8)
-            mask_b = np.zeros((bsz, ph, pw), bool)
-            for row, i in enumerate(ids):
-                c, m = canon[i]
-                h, w = m.shape
-                rgb_b[row, :h, :w] = c
-                mask_b[row, :h, :w] = m
-            pending.append(
-                (ids, _split_score_batch(
-                    SHARD.shard_rows(rgb_b, mesh), SHARD.shard_rows(mask_b, mesh)
-                ))
-            )
+            with stage_timer("score.pack"):
+                bsz = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
+                rgb_b = np.zeros((bsz, ph, pw, 3), np.uint8)
+                mask_b = np.zeros((bsz, ph, pw), bool)
+                for row, i in enumerate(ids):
+                    c, m = canon[i]
+                    h, w = m.shape
+                    rgb_b[row, :h, :w] = c
+                    mask_b[row, :h, :w] = m
+            with stage_timer("score.dispatch"):
+                pending.append(
+                    (ids, _split_score_batch(
+                        SHARD.shard_rows(rgb_b, mesh), SHARD.shard_rows(mask_b, mesh)
+                    ))
+                )
         for ids, result in pending:
-            overall, color, texture, count = (np.asarray(x) for x in result)
+            with stage_timer("score.collect"):
+                overall, color, texture, count = (np.asarray(x) for x in result)
             for row, i in enumerate(ids):
                 if count[row] < 100:
                     out[i] = (0.0, 0.0, 0.0)

@@ -64,6 +64,8 @@ def _slic_core(
     Returns:
       (h, w) int32 center ids (0..n_centers-1) inside mask, -1 outside.
     """
+    if n_centers > 256:
+        raise ValueError("_slic_core returns uint8 ids; n_centers must be <= 256")
     h, w, _ = rgb_u8.shape
     lab = COL.rgb_to_lab(rgb_u8)
     if sigma > 0:
@@ -128,7 +130,10 @@ def _slic_core(
 
     centers = jax.lax.fori_loop(0, iters, lloyd, init_centers)
     out = assign(centers)[: h * w]
-    return jnp.where(mask.reshape(-1), out, -1).reshape(h, w)
+    # uint8 return (n_centers <= 256): the tunneled chip downloads at
+    # ~22 MB/s, so label-map bytes are wall-clock.  -1 (outside mask) wraps
+    # to 255; every consumer gates on the mask, never on the sentinel.
+    return jnp.where(mask.reshape(-1), out, -1).reshape(h, w).astype(jnp.uint8)
 
 
 @functools.partial(
