@@ -123,7 +123,7 @@ def process_regions_with_reassignment(
 
 
 def _pow2_bucket(n: int, minimum: int = 64) -> int:
-    """Shape-bucket a spatial dim: pow2 up to 256, then multiples of 128 —
+    """Shape-bucket a spatial dim: pow2 up to 256, then multiples of 64 —
     same policy as ops/slic._pad_dim (padded pixels are real kernel work;
     measured 2.4x on the dominant Kodak bucket)."""
     b = minimum
@@ -131,7 +131,7 @@ def _pow2_bucket(n: int, minimum: int = 64) -> int:
         b *= 2
     if b >= n:
         return b
-    return -(-n // 128) * 128
+    return -(-n // 64) * 64
 
 
 @jax.jit
@@ -196,9 +196,14 @@ def _split_score_batch(rgbs: jnp.ndarray, masks: jnp.ndarray):
     return jax.vmap(_split_score_jit)(rgbs, masks)
 
 
-def _pad_batch(b: int) -> int:
+def _pad_batch(b: int, row_pixels: int = 0) -> int:
     """Batch padding to a multiple of four, minimum 4 (same policy as
-    ops/slic._pad_batch)."""
+    ops/slic._pad_batch).  Huge-row buckets (>= 2 MP per row — the 22 MP
+    single-region case) pad exactly: a padded row is a full image of wasted
+    kernel work there, and such shapes are rare enough that per-count
+    compiles are cheaper."""
+    if row_pixels >= 2_000_000:
+        return b
     return max(4, -(-b // 4) * 4)
 
 
@@ -233,7 +238,7 @@ def split_scores_many(crops: list, masks: list, mesh=None) -> list:
         pending = []
         for (ph, pw), ids in buckets.items():
             with stage_timer("score.pack"):
-                bsz = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
+                bsz = SHARD.pad_rows(_pad_batch(len(ids), ph * pw), mesh)
                 rgb_b = np.zeros((bsz, ph, pw, 3), np.uint8)
                 mask_b = np.zeros((bsz, ph, pw), bool)
                 for row, i in enumerate(ids):

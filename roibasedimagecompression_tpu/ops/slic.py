@@ -167,17 +167,17 @@ def _adopt_batch(labels, keeps, masks):
 
 def _pad_dim(n: int, minimum: int = 64) -> int:
     """Shape-bucket a spatial dim: powers of two up to 256, then multiples of
-    128.  Measured on the chip: the dominant Kodak bucket is ~537x358 working
+    64.  Measured on the chip: the dominant Kodak bucket is ~537x358 working
     resolution, and pow2 padding to (1024, 512) made the SLIC core 2.4x
-    slower than (576, 384) — padded pixels are real work.  The multiple-of-
-    128 grid keeps the compiled-shape count small (dims <= ~1024 => <= 9
+    slower than (576, 384) — padded pixels are real work.  The multiple-of-64
+    grid keeps the compiled-shape count small (dims <= ~1024 => <= 13
     values) while capping pad waste at ~25%."""
     b = minimum
     while b < n and b < 256:
         b *= 2
     if b >= n:
         return b
-    return -(-n // 128) * 128
+    return -(-n // 64) * 64
 
 
 def _pad_batch(b: int) -> int:

@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--out", default=None)
     ap.add_argument("--source", default="kodak-mosaic")
+    ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
 
     import jax
@@ -70,18 +71,25 @@ def main():
     print(f"input: {w}x{h} = {mp:.1f} MP", file=sys.stderr, flush=True)
 
     cfg = rtc.CodecConfig()
-    timing.reset_stages()
-    t0 = time.perf_counter()
-    data = rtc.encode(img, cfg)
-    dt = time.perf_counter() - t0
+    # Two passes in ONE process: the remote backend recompiles fresh graphs
+    # per process (the on-disk cache does not shortcut its compiles), so the
+    # first pass pays the giant-shape compile and the second is warm.
+    warm = None
+    for attempt in range(args.passes):
+        timing.reset_stages()
+        t0 = time.perf_counter()
+        data = rtc.encode(img, cfg)
+        dt = time.perf_counter() - t0
+        print(f"pass {attempt}: {dt:.1f}s", file=sys.stderr, flush=True)
+        warm = dt
 
     rec = rtc.decode(data)
     q = M.quality_metrics(img, rec)
     report = {
         "input": f"{w}x{h}",
         "megapixels": round(mp, 2),
-        "encode_seconds": round(dt, 1),
-        "mpps": round(mp / dt, 4),
+        "encode_seconds": round(warm, 1),
+        "mpps": round(mp / warm, 4),
         "bytes": len(data),
         "bpp": round(len(data) * 8 / (h * w), 3),
         "psnr_db": round(q["psnr"], 2),

@@ -113,3 +113,30 @@ def test_black_repair_large_pair_index():
     assert 0 not in col_out[seg_out == 1]
     repaired = col_out[inv_out[n - 3]]
     assert repaired == 0x020202
+
+
+def test_shape_bucket_policies():
+    """Padding grids are perf-tuned (see ops/slic._pad_dim); pin the laws so
+    a refactor can't silently reintroduce pow2 blowup (measured 2.4x kernel
+    cost on the dominant SLIC bucket)."""
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+    from roibasedimagecompression_tpu.models import segment as SEG
+    from roibasedimagecompression_tpu.ops import slic as SLIC
+
+    # Spatial dims: pow2 to 256, then multiples of 128.
+    assert SLIC._pad_dim(60) == 64
+    assert SLIC._pad_dim(200) == 256
+    assert SLIC._pad_dim(300) == 320
+    assert SLIC._pad_dim(537) == 576
+    assert SEG._pow2_bucket(537) == 576
+    # Batch rows: multiples of 4 (min 4).
+    assert SLIC._pad_batch(1) == 4 and SLIC._pad_batch(9) == 12
+    # Huge-row buckets pad exactly (the 22 MP single-region case).
+    assert SEG._pad_batch(1, 22_000_000) == 1
+    assert SEG._pad_batch(3, 1000) == 4
+    # Problem rows: pow2 to 32, then multiples of 32.
+    assert QB._pad_batch(5) == 8
+    assert QB._pad_batch(33) == 64
+    assert QB._pad_batch(300) == 320
+    # k padding: pow2.
+    assert QB._pad_kmax(40) == 64
