@@ -36,12 +36,12 @@ from roibasedimagecompression_tpu.utils.timing import stage_timer
 _BUCKETS = (64, 256, 1024, 4096, 9999)  # eps-CC path caps (>=10k goes to k-means)
 
 
-def _unique_inverse(keys: np.ndarray):
+def _unique_inverse(keys: np.ndarray, return_counts: bool = False):
     """np.unique(return_inverse) through the native radix sort when available
     (the pair-table unique was a measured hot spot of the batched encode)."""
     from roibasedimagecompression_tpu import native
 
-    return native.unique_inverse_i64(keys)
+    return native.unique_inverse_i64(keys, return_counts)
 
 
 def _runs_of_sorted(sorted_arr: np.ndarray):
@@ -57,10 +57,20 @@ def _runs_of_sorted(sorted_arr: np.ndarray):
 def _pairs(image_rgb: np.ndarray, seg_map: np.ndarray):
     """Unique (segment, color) pairs + per-pixel inverse.
 
-    Returns (seg_of_pair, color_of_pair (packed int64 free repr), inverse)
-    over pixels with seg_map > 0.
+    Returns (seg_of_pair, color_of_pair (packed int64 free repr), inverse,
+    mask, pixel_counts) over pixels with seg_map > 0.  pixel_counts is the
+    per-pair pixel multiplicity (the weighted-palette weights), a free
+    by-product of the native dedup; None on the NumPy fallback.
     """
+    from roibasedimagecompression_tpu import native
+
     mask = seg_map > 0
+    out = native.pack_pairs(image_rgb, seg_map)
+    if out is not None:
+        uniq, inverse, counts = out
+        seg_of_pair = (uniq >> 24).astype(np.int32)
+        color_of_pair = (uniq & 0xFFFFFF).astype(np.int32)
+        return seg_of_pair, color_of_pair, inverse, mask, counts
     packed = (
         (image_rgb[..., 0].astype(np.int64) << 16)
         | (image_rgb[..., 1].astype(np.int64) << 8)
@@ -71,7 +81,7 @@ def _pairs(image_rgb: np.ndarray, seg_map: np.ndarray):
     uniq, inverse = _unique_inverse(flat)
     seg_of_pair = (uniq >> 24).astype(np.int32)
     color_of_pair = (uniq & 0xFFFFFF).astype(np.int32)
-    return seg_of_pair, color_of_pair, inverse.astype(np.int64), mask
+    return seg_of_pair, color_of_pair, inverse.astype(np.int64), mask, None
 
 
 def _unpack(colors_packed: np.ndarray) -> np.ndarray:
@@ -227,10 +237,13 @@ def tier1_colors(
       (h, w, 3) uint8 tier-1 colors (black where seg_map == 0).
     """
     with stage_timer("t1.pairs"):
-        seg_of_pair, color_of_pair, inverse, mask = _pairs(image_rgb, seg_map)
+        seg_of_pair, color_of_pair, inverse, mask, pix_counts = _pairs(
+            image_rgb, seg_map
+        )
         if len(seg_of_pair) == 0:
             return np.zeros_like(image_rgb)
-        seg_of_pair, color_of_pair, inverse, _ = _black_repair_pairs(
+        pre_repair_counts = pix_counts
+        seg_of_pair, color_of_pair, inverse, repair_remap = _black_repair_pairs(
             seg_of_pair, color_of_pair, inverse
         )
     colors = _unpack(color_of_pair).astype(np.float32)
@@ -303,7 +316,17 @@ def tier1_colors(
     # reference's unweighted palette-entry mean.
     with stage_timer("t1.means"):
         if weighted:
-            w = np.bincount(inverse, minlength=len(seg_of_pair)).astype(np.float64)
+            if pre_repair_counts is not None:
+                # Per-pair pixel counts fell out of the native dedup; the
+                # black repair folds repaired pairs' counts into their
+                # targets through the remap.
+                w = np.bincount(
+                    repair_remap,
+                    weights=pre_repair_counts.astype(np.float64),
+                    minlength=len(seg_of_pair),
+                )
+            else:
+                w = np.bincount(inverse, minlength=len(seg_of_pair)).astype(np.float64)
         else:
             w = np.ones(len(seg_of_pair), np.float64)
         counts = np.bincount(cluster_of_pair, weights=w, minlength=next_cluster)
@@ -345,21 +368,40 @@ def cluster_color_maps_many(
     assert len(sel_list) == n_prob and len(quality_list) == n_prob
 
     # ---- pooled (problem, color) pair table --------------------------------
-    keys_parts = []
-    pixel_counts = []
-    for i in range(n_prob):
-        c = colors_list[i][sel_list[i]]
-        pixel_counts.append(len(c))
-        packed = (
-            (c[:, 0].astype(np.int64) << 16)
-            | (c[:, 1].astype(np.int64) << 8)
-            | c[:, 2].astype(np.int64)
-        )
-        keys_parts.append(np.int64(i) << 24 | packed)
-    if sum(pixel_counts) == 0:
-        return [np.zeros((0, 3), np.uint8) for _ in range(n_prob)]
-    keys = np.concatenate(keys_parts)
-    uniq, inverse = _unique_inverse(keys)
+    from roibasedimagecompression_tpu import native
+
+    with stage_timer("t23.pairs"):
+        if native.available():
+            # Native packing into one preallocated key buffer (the NumPy
+            # boolean-select + shift chain was the dominant host cost of the
+            # 22 MP encode's tier-2/3 stage).
+            cap = sum(int(np.prod(s.shape)) for s in sel_list)
+            keys = np.empty(cap, np.int64)
+            pixel_counts = []
+            off = 0
+            for i in range(n_prob):
+                m = native.pack_sel_keys(colors_list[i], sel_list[i], i, keys, off)
+                pixel_counts.append(m)
+                off += m
+            keys = keys[:off]
+        else:
+            keys_parts = []
+            pixel_counts = []
+            for i in range(n_prob):
+                c = colors_list[i][sel_list[i]]
+                pixel_counts.append(len(c))
+                packed = (
+                    (c[:, 0].astype(np.int64) << 16)
+                    | (c[:, 1].astype(np.int64) << 8)
+                    | c[:, 2].astype(np.int64)
+                )
+                keys_parts.append(np.int64(i) << 24 | packed)
+            keys = (
+                np.concatenate(keys_parts) if keys_parts else np.zeros(0, np.int64)
+            )
+        if sum(pixel_counts) == 0:
+            return [np.zeros((0, 3), np.uint8) for _ in range(n_prob)]
+        uniq, inverse, pair_pixel_counts = _unique_inverse(keys, return_counts=True)
     prob_of_pair = (uniq >> 24).astype(np.int32)
     color_of_pair = (uniq & 0xFFFFFF).astype(np.int32)
     colors = _unpack(color_of_pair).astype(np.float32)
@@ -443,7 +485,10 @@ def cluster_color_maps_many(
 
     # ---- cluster mean colors (truncated uint8, clustering.py:305,347) ------
     if weighted:
-        w = np.bincount(inverse, minlength=n_pairs).astype(np.float64)
+        # Per-pair pixel multiplicities fall out of the radix dedup — no
+        # repair/remap happens on this path (black pairs are pinned), so
+        # they ARE the weights.
+        w = pair_pixel_counts.astype(np.float64)
     else:
         w = np.ones(n_pairs, np.float64)
     counts = np.bincount(cluster_of_pair, weights=w, minlength=next_cluster)

@@ -90,6 +90,17 @@ def get_lib():
         lib.sort_unique_inverse.restype = ctypes.c_int64
         lib.sort_unique_inverse.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.pack_pairs.restype = ctypes.c_int64
+        lib.pack_pairs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.pack_sel.restype = ctypes.c_int64
+        lib.pack_sel.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p,
         ]
         lib.score_candidates.restype = ctypes.c_int32
         lib.score_candidates.argtypes = [
@@ -274,18 +285,68 @@ def slic_enforce(assign: np.ndarray, mask: np.ndarray, min_size: int):
     return out
 
 
-def unique_inverse_i64(keys: np.ndarray):
-    """np.unique(keys, return_inverse=True) for int64 keys via native radix
-    sort; falls back to np.unique without the library."""
+def pack_pairs(image_rgb: np.ndarray, seg_map: np.ndarray):
+    """Tier-1 (segment, color) pair table in one native pass.
+
+    image_rgb: (..., 3) uint8; seg_map: same leading shape, int32.
+    Returns (uniq_keys int64 (m,), inverse int64 (n_masked,), counts int64
+    (m,)) where inverse indexes pairs per seg>0 pixel in row-major order —
+    or None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    rgb = np.ascontiguousarray(image_rgb, dtype=np.uint8).reshape(-1, 3)
+    seg = np.ascontiguousarray(seg_map, dtype=np.int32).reshape(-1)
+    n = seg.size
+    uniq = np.empty(n, np.int64)
+    inverse = np.empty(n, np.int64)
+    counts = np.empty(n, np.int64)
+    m = lib.pack_pairs(
+        rgb.ctypes.data, seg.ctypes.data, n,
+        uniq.ctypes.data, inverse.ctypes.data, counts.ctypes.data,
+    )
+    n_masked = int((seg > 0).sum())
+    return uniq[:m].copy(), inverse[:n_masked].copy(), counts[:m].copy()
+
+
+def pack_sel_keys(colors: np.ndarray, sel: np.ndarray, tag: int,
+                  out: np.ndarray, offset: int):
+    """Write tag<<24|rgb keys for sel pixels into out[offset:], row-major.
+
+    Returns the number written, or None when the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(colors, dtype=np.uint8).reshape(-1, 3)
+    s = np.ascontiguousarray(sel, dtype=np.uint8).reshape(-1)
+    assert out.dtype == np.int64 and out.flags.c_contiguous
+    return int(
+        lib.pack_sel(
+            c.ctypes.data, s.ctypes.data, s.size, int(tag),
+            out.ctypes.data + offset * 8,
+        )
+    )
+
+
+def unique_inverse_i64(keys: np.ndarray, return_counts: bool = False):
+    """np.unique(keys, return_inverse=True[, return_counts]) for int64 keys
+    via native radix sort; falls back to np.unique without the library."""
     flat = np.ascontiguousarray(keys, dtype=np.int64).reshape(-1)
     lib = get_lib()
     if lib is None or flat.size == 0:
-        return np.unique(flat, return_inverse=True)
+        out = np.unique(flat, return_inverse=True, return_counts=return_counts)
+        return out if return_counts else (out[0], out[1])
     uniq = np.empty(flat.size, np.int64)
     inverse = np.empty(flat.size, np.int64)
+    counts = np.empty(flat.size, np.int64) if return_counts else None
     m = lib.sort_unique_inverse(
-        flat.ctypes.data, flat.size, uniq.ctypes.data, inverse.ctypes.data
+        flat.ctypes.data, flat.size, uniq.ctypes.data, inverse.ctypes.data,
+        counts.ctypes.data if return_counts else None,
     )
+    if return_counts:
+        return uniq[:m].copy(), inverse, counts[:m].copy()
     return uniq[:m].copy(), inverse
 
 

@@ -1135,22 +1135,35 @@ int32_t score_candidates(const uint8_t* gray, const int32_t* mag,
 // keys: (n) int64 (any values; interpreted as uint64 after sign-bias, so
 // negative keys sort before positive ones like np.unique).
 // uniq_out: capacity n; inverse_out: (n) int64.  Returns unique count.
-int64_t sort_unique_inverse(const int64_t* keys, int64_t n, int64_t* uniq_out,
-                            int64_t* inverse_out) {
-  if (n <= 0) return 0;
-  struct KV {
-    uint64_t k;
-    int64_t i;
-  };
-  // Uninitialized buffers (std::vector would zero ~32 bytes/element).
-  std::unique_ptr<KV[]> a(new KV[n]), b(new KV[n]);
-  const uint64_t bias = 0x8000000000000000ull;  // order-preserving for int64
-  // One combined scan builds all 8 byte histograms.
+namespace rsort {
+
+struct KV {
+  uint64_t k;
+  int64_t i;
+};
+
+// Reusable scratch: grown once, then no page-faulting reallocation per call
+// (fresh 100 MB allocations caused multi-second first-touch storms on the
+// single-core VM).
+inline std::vector<KV>& buf_a() {
+  static thread_local std::vector<KV> v;
+  return v;
+}
+inline std::vector<KV>& buf_b() {
+  static thread_local std::vector<KV> v;
+  return v;
+}
+
+// Sorts (key, payload-index) pairs that the caller wrote into buf_a()[0..n).
+// Returns a pointer to the sorted run (buf_a or buf_b storage).
+inline KV* radix_sort(int64_t n) {
+  auto& a = buf_a();
+  auto& b = buf_b();
+  if (static_cast<int64_t>(b.size()) < n) b.resize(n);
   static thread_local int64_t counts[8][256];
   std::memset(counts, 0, sizeof(counts));
   for (int64_t i = 0; i < n; ++i) {
-    const uint64_t k = static_cast<uint64_t>(keys[i]) ^ bias;
-    a[i] = {k, i};
+    const uint64_t k = a[i].k;
     ++counts[0][k & 0xFF];
     ++counts[1][(k >> 8) & 0xFF];
     ++counts[2][(k >> 16) & 0xFF];
@@ -1160,11 +1173,10 @@ int64_t sort_unique_inverse(const int64_t* keys, int64_t n, int64_t* uniq_out,
     ++counts[6][(k >> 48) & 0xFF];
     ++counts[7][(k >> 56) & 0xFF];
   }
-  KV* src = a.get();
-  KV* dst = b.get();
+  KV* src = a.data();
+  KV* dst = b.data();
   for (int pass = 0; pass < 8; ++pass) {
     const int shift = pass * 8;
-    // Skip passes where every byte is equal (common for packed keys).
     bool trivial = false;
     for (int v = 0; v < 256; ++v)
       if (counts[pass][v] == n) { trivial = true; break; }
@@ -1178,14 +1190,91 @@ int64_t sort_unique_inverse(const int64_t* keys, int64_t n, int64_t* uniq_out,
     for (int64_t i = 0; i < n; ++i) dst[pos[(src[i].k >> shift) & 0xFF]++] = src[i];
     std::swap(src, dst);
   }
+  return src;
+}
+
+}  // namespace rsort
+
+// counts_out may be null; when given it receives the multiplicity of each
+// unique key (saves a full-size bincount pass for the weighted-palette law).
+int64_t sort_unique_inverse(const int64_t* keys, int64_t n, int64_t* uniq_out,
+                            int64_t* inverse_out, int64_t* counts_out) {
+  if (n <= 0) return 0;
+  const uint64_t bias = 0x8000000000000000ull;  // order-preserving for int64
+  auto& a = rsort::buf_a();
+  if (static_cast<int64_t>(a.size()) < n) a.resize(n);
+  for (int64_t i = 0; i < n; ++i)
+    a[i] = {static_cast<uint64_t>(keys[i]) ^ bias, i};
+  const rsort::KV* src = rsort::radix_sort(n);
   int64_t m = 0;
   uint64_t prev = src[0].k + 1;  // guaranteed different from src[0].k
   for (int64_t i = 0; i < n; ++i) {
     if (src[i].k != prev) {
       prev = src[i].k;
-      uniq_out[m++] = static_cast<int64_t>(src[i].k ^ bias);
+      uniq_out[m] = static_cast<int64_t>(src[i].k ^ bias);
+      if (counts_out) counts_out[m] = 0;
+      ++m;
     }
+    if (counts_out) counts_out[m - 1] += 1;
     inverse_out[src[i].i] = m - 1;
+  }
+  return m;
+}
+
+// Pair-table construction for tier-1: one pass over the tall (n, 3) image +
+// (n,) segment map builds, sorts and dedups the (segment, color) pair table.
+// Replaces ~6 full-size NumPy temporaries (pack, key, mask-compact, unique)
+// with one native call into reusable scratch.
+//
+// uniq_out: (capacity n) packed keys seg<<24|r<<16|g<<8|b, sorted unique.
+// inverse_out: one entry per seg>0 pixel in row-major scan order.
+// counts_out: pixels per unique pair (the weighted-palette pixel counts).
+// Returns the unique-pair count.
+int64_t pack_pairs(const uint8_t* rgb, const int32_t* seg, int64_t n,
+                   int64_t* uniq_out, int64_t* inverse_out,
+                   int64_t* counts_out) {
+  auto& a = rsort::buf_a();
+  if (static_cast<int64_t>(a.size()) < n) a.resize(n);
+  int64_t m = 0;  // masked pixel count
+  for (int64_t i = 0; i < n; ++i) {
+    if (seg[i] <= 0) continue;
+    const uint64_t key = (static_cast<uint64_t>(seg[i]) << 24) |
+                         (static_cast<uint64_t>(rgb[3 * i]) << 16) |
+                         (static_cast<uint64_t>(rgb[3 * i + 1]) << 8) |
+                         rgb[3 * i + 2];
+    a[m] = {key, m};
+    ++m;
+  }
+  if (m == 0) return 0;
+  // Keys are non-negative, so no sign bias is needed.
+  const rsort::KV* src = rsort::radix_sort(m);
+  int64_t u = 0;
+  uint64_t prev = src[0].k + 1;
+  for (int64_t i = 0; i < m; ++i) {
+    if (src[i].k != prev) {
+      prev = src[i].k;
+      uniq_out[u] = static_cast<int64_t>(src[i].k);
+      counts_out[u] = 0;
+      ++u;
+    }
+    counts_out[u - 1] += 1;
+    inverse_out[src[i].i] = u - 1;
+  }
+  return u;
+}
+
+// Tier-2/3 pooled packing: write tag<<24|rgb keys for selected pixels into
+// out (row-major sel order).  Returns the number of keys written.
+int64_t pack_sel(const uint8_t* colors, const uint8_t* sel, int64_t n,
+                 int64_t tag, int64_t* out) {
+  const uint64_t t = static_cast<uint64_t>(tag) << 24;
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (!sel[i]) continue;
+    const uint64_t key = t | (static_cast<uint64_t>(colors[3 * i]) << 16) |
+                         (static_cast<uint64_t>(colors[3 * i + 1]) << 8) |
+                         colors[3 * i + 2];
+    out[m++] = static_cast<int64_t>(key);
   }
   return m;
 }
