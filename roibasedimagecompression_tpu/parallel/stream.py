@@ -204,3 +204,24 @@ def encode_many(
             for fut in concurrent.futures.as_completed(futures):
                 results[futures[fut]] = fut.result()
     return results
+
+
+def encode_stream(
+    batches: list, config: cfg.CodecConfig | None = None, workers: int = 2
+) -> list:
+    """Encode a stream of same-shape batches with host/device overlap.
+
+    Two encode_many pipelines run on separate threads: while one blocks on a
+    device result (the wait releases the GIL), the other runs its host stages
+    (native ROI, pair packing, zlib) — on a single-core host this hides most
+    host wall-clock behind device compute.  Device dispatches from both
+    threads serialize on the chip; each batch's bytes are identical to a
+    sequential encode_many (asserted in tests).
+
+    Returns a list of per-batch result lists, in input order.
+    """
+    config = config or cfg.CodecConfig()
+    if workers <= 1 or len(batches) <= 1:
+        return [encode_many(b, config) for b in batches]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(lambda b: encode_many(b, config), batches))

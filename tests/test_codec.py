@@ -185,3 +185,17 @@ def test_reference_law_parity_mode():
     bpp = len(data) * 8 / (256 * 256)
     assert abs(q["psnr"] - 35.33) < 0.5, q["psnr"]
     assert abs(bpp - 4.387) < 0.3, bpp
+
+
+def test_encode_stream_matches_sequential(lenna128):
+    """Threaded encode_stream must produce the same bytes as sequential
+    encode_many calls (host/device overlap is a scheduling change only)."""
+    from roibasedimagecompression_tpu.parallel import stream
+
+    a = lenna128[:96, :96]
+    b = lenna128[32:, 32:][:96, :96]
+    batches = [[a, b], [b, a]]
+    cfg_ = rtc.CodecConfig()
+    got = stream.encode_stream(batches, cfg_, workers=2)
+    want = [stream.encode_many(batch, cfg_) for batch in batches]
+    assert got == want
