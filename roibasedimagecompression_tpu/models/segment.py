@@ -123,14 +123,18 @@ def process_regions_with_reassignment(
 
 
 def _pow2_bucket(n: int, minimum: int = 64) -> int:
-    """Shape-bucket a spatial dim: pow2 up to 256, then multiples of 64 —
-    same policy as ops/slic._pad_dim (padded pixels are real kernel work;
-    measured 2.4x on the dominant Kodak bucket)."""
-    b = minimum
-    while b < n and b < 256:
-        b *= 2
-    if b >= n:
-        return b
+    """Shape-bucket a split-score dim: coarse tiers (256, 512, 768, 1024),
+    then multiples of 64.
+
+    Split-score compute is cheap (~25 ns/padded px on the chip) while every
+    kernel launch costs ~35 ms through the tunnel — measured: a (64, 64)
+    bucket took 39 ms, the (768, 512) bucket 131 ms.  Coarse tiers collapse
+    the 14 per-batch buckets of the Kodak stream to ~3, trading ~200 ms of
+    padded compute for ~400 ms of launches.  (SLIC keeps its fine 64-step
+    grid: its Lloyd compute is ~10x costlier per padded pixel.)"""
+    for tier in (256, 512, 768, 1024):
+        if n <= tier:
+            return tier
     return -(-n // 64) * 64
 
 

@@ -166,17 +166,18 @@ def _adopt_batch(labels, keeps, masks):
 
 
 def _pad_dim(n: int, minimum: int = 64) -> int:
-    """Shape-bucket a spatial dim: powers of two up to 256, then multiples of
-    64.  Measured on the chip: the dominant Kodak bucket is ~537x358 working
-    resolution, and pow2 padding to (1024, 512) made the SLIC core 2.4x
-    slower than (576, 384) — padded pixels are real work.  The multiple-of-64
-    grid keeps the compiled-shape count small (dims <= ~1024 => <= 13
-    values) while capping pad waste at ~25%."""
-    b = minimum
-    while b < n and b < 256:
-        b *= 2
-    if b >= n:
-        return b
+    """Shape-bucket a SLIC dim: tiers {128, 256} up to 256, then multiples
+    of 64.
+
+    Two measured forces: padded pixels are real Lloyd work (~220 ns/px —
+    pow2 padding of the dominant ~537x358 bucket to (1024, 512) cost 2.4x),
+    but every kernel launch costs ~35 ms through the tunnel.  Above 256 the
+    compute term wins (fine 64-step grid); at or below 256 a launch dwarfs
+    the pixels, so small regions collapse into two tiers."""
+    if n <= 128:
+        return 128
+    if n <= 256:
+        return 256
     return -(-n // 64) * 64
 
 
