@@ -535,6 +535,10 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
         ks = np.minimum(np.maximum(2, -(-n // lim)), n)
 
         key_base = np.int64(next_cluster)
+        # NOTE: merging the small caps (64+256 -> 256) to save launches was
+        # measured SLOWER (split.kmeans 1.9s -> 2.8s per batch): the split
+        # levels carry thousands of tiny problems and the padded k-means
+        # rows cost more than the saved dispatches.  Keep the fine caps.
         caps = [64, 256, 1024, 4096, 16384, 65536]
         # Clusters beyond the biggest bucket cap (a >65536-color palette in one
         # cluster) are split one-by-one with chunked device k-means — rare, but
@@ -547,10 +551,19 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
             cluster_of_pair[order[s : s + m]] = key_base + lab
             key_base += np.int64(lab.max()) + 1
         # Dispatch all buckets, then collect (overlaps device round-trips).
+        import os as _os
+
+        trace = _os.environ.get("RHCCQ_TRACE", "") not in ("", "0")
         pending = []
         with stage_timer("split.kmeans"):
             for cap, rows in _bucketize(sizes[oversized], caps).items():
                 ids = oversized[rows]
+                if trace:
+                    print(
+                        f"[rhccq] split level={_level} cap={cap} rows={len(ids)} "
+                        f"k_max={_pad_kmax(int(ks[rows].max()))}",
+                        flush=True,
+                    )
                 pts, valid, pair_idx = _gather_bucket(
                     ids, starts, sizes, colors, cap, order=order, mesh=mesh
                 )
