@@ -209,3 +209,31 @@ def quantize_image(
     (encoder/compression/image.py:243-350)."""
     merged = merge_components(components, (0, 0, image_height, image_width))
     return cluster_component(merged, quality, seed=seed)
+
+
+def hierarchical_palette_clustering(
+    palette: np.ndarray, indices: np.ndarray, quality: float = 85.0, *, seed: int = 42
+):
+    """Alternative palette reducer: one k-means over the palette to
+    target = max(2, floor(n * quality / 100)) colors.
+
+    Rebuilds hierarchical_color_clustering (encoder/compression/
+    clustering.py:824-849 — unused by the reference's main path; kept here
+    for capability parity).  Returns (new_palette uint8 (k, 3), new_indices
+    same shape as `indices`).
+    """
+    from roibasedimagecompression_tpu.ops import cluster as CL
+
+    palette = np.asarray(palette, np.uint8)
+    n = len(palette)
+    target = max(2, int(n * quality / 100.0))
+    if n <= target:
+        return palette.copy(), np.asarray(indices).copy()
+    labels = CL.kmeans_host(palette.astype(np.float32), target, seed=seed)
+    k = int(labels.max()) + 1
+    sums = np.zeros((k, 3), np.float64)
+    counts = np.bincount(labels, minlength=k).astype(np.float64)
+    for c in range(3):
+        sums[:, c] = np.bincount(labels, weights=palette[:, c].astype(np.float64), minlength=k)
+    new_palette = (sums / np.maximum(counts, 1.0)[:, None]).astype(np.uint8)
+    return new_palette, labels[np.asarray(indices)]

@@ -207,3 +207,25 @@ def test_kmeans_kmax_above_point_count(rng):
     labels = np.asarray(labels)
     assert labels.shape == (200,)
     assert labels.max() < 512
+
+
+def test_hierarchical_palette_clustering():
+    """Capability parity with the reference's unused alternative reducer
+    (clustering.py:824-849): k-means the palette to n*q/100 colors."""
+    from roibasedimagecompression_tpu.models import quantize as Q
+
+    rng = np.random.default_rng(0)
+    palette = rng.integers(0, 256, (100, 3)).astype(np.uint8)
+    indices = rng.integers(0, 100, (16, 16))
+    new_pal, new_idx = Q.hierarchical_palette_clustering(palette, indices, 50.0)
+    assert len(new_pal) <= 50
+    assert new_idx.shape == indices.shape
+    assert new_idx.max() < len(new_pal)
+    # Reconstruction stays within quantization distance of the original.
+    err = np.abs(
+        new_pal[new_idx].astype(int) - palette[indices].astype(int)
+    ).mean()
+    assert err < 64
+    # No-op above the target.
+    same_pal, same_idx = Q.hierarchical_palette_clustering(palette, indices, 100.0)
+    assert np.array_equal(same_pal, palette)
