@@ -115,3 +115,55 @@ def test_native_roi_pipeline_wired_into_encode(lenna128):
     batch = stream.encode_many([img], rtc.CodecConfig())
     single = rtc.encode(img, rtc.CodecConfig())
     assert batch[0] == single
+
+
+def test_native_pack_pairs_matches_numpy_oracle():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 30, (40, 50, 3), dtype=np.uint8)
+    seg = rng.integers(0, 4, (40, 50)).astype(np.int32)
+    uniq, inverse, counts = native.pack_pairs(img, seg)
+    mask = seg > 0
+    packed = (
+        (img[..., 0].astype(np.int64) << 16)
+        | (img[..., 1].astype(np.int64) << 8)
+        | img[..., 2].astype(np.int64)
+    )
+    key = (seg.astype(np.int64) << 24 | packed)[mask]
+    u2, i2, c2 = np.unique(key, return_inverse=True, return_counts=True)
+    assert np.array_equal(uniq, u2)
+    assert np.array_equal(inverse, i2)
+    assert np.array_equal(counts, c2)
+
+
+def test_native_pack_sel_matches_numpy_oracle():
+    rng = np.random.default_rng(2)
+    colors = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    sel = rng.random((20, 30)) < 0.4
+    out = np.empty(20 * 30, np.int64)
+    m = native.pack_sel_keys(colors, sel, 7, out, 0)
+    c = colors[sel]
+    want = (
+        np.int64(7) << 24
+        | (c[:, 0].astype(np.int64) << 16)
+        | (c[:, 1].astype(np.int64) << 8)
+        | c[:, 2].astype(np.int64)
+    )
+    assert m == len(want)
+    assert np.array_equal(out[:m], want)
+
+
+def test_native_unique_inverse_counts():
+    rng = np.random.default_rng(3)
+    keys = rng.integers(-1000, 1000, 5000).astype(np.int64)
+    u, i, c = native.unique_inverse_i64(keys, return_counts=True)
+    u2, i2, c2 = np.unique(keys, return_inverse=True, return_counts=True)
+    assert np.array_equal(u, u2) and np.array_equal(i, i2) and np.array_equal(c, c2)
+
+
+def test_native_score_candidates_matches_python(lenna128):
+    from roibasedimagecompression_tpu.ops import canny as CANNY
+
+    gray, mag, nms, cands = native.canny_analysis(lenna128)
+    best_native = native.score_candidates(gray, mag, nms, cands)
+    best_python = CANNY.score_candidates_host(gray, mag, nms, cands)
+    assert best_native == best_python
