@@ -69,8 +69,17 @@ def main():
 
     cfg = CodecConfig()
 
-    half = len(bench_imgs) // 2
-    bench_batches = [bench_imgs[:half], bench_imgs[half:]]
+    # Four batches of 8: the 16 landscape originals plus their mirrors
+    # (distinct content, same shapes).  More batches per measurement lets the
+    # two pipeline threads interleave host and device phases more smoothly
+    # than a 2-batch run, where both threads hit device-heavy phases together.
+    mirrored = [np.ascontiguousarray(im[:, ::-1]) for im in bench_imgs]
+    all_imgs = bench_imgs + mirrored
+    half = max(1, len(bench_imgs) // 2)
+    bench_batches = [
+        bench_imgs[:half], bench_imgs[half:], mirrored[:half], mirrored[half:]
+    ]
+    bench_imgs = all_imgs
 
     # Warm-up: populates the shape-bucket compile cache AND exercises the
     # single-image API.
@@ -79,7 +88,7 @@ def main():
     log(f"warm-up encode 1: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     stream.encode_stream(bench_batches, cfg)
-    log(f"warm-up encode_stream 2x{half}: {time.perf_counter() - t0:.1f}s")
+    log(f"warm-up encode_stream {len(bench_batches)}x{half}: {time.perf_counter() - t0:.1f}s")
 
     # Measured run: best of two passes (host timing on this single-core VM
     # is noisy — page-fault storms swing individual host stages by seconds).
@@ -112,7 +121,7 @@ def main():
     single = time.perf_counter() - t0
 
     log(
-        f"encode_many x{len(bench_imgs)} ({mp:.2f} MP): {dt:.1f}s = {mpps:.4f} MP/s; "
+        f"encode_stream x{len(bench_imgs)} ({mp:.2f} MP): {dt:.1f}s = {mpps:.4f} MP/s; "
         f"mean psnr={np.mean(psnrs):.2f}, ssim={np.mean(ssims):.4f}, "
         f"bpp={np.mean(bpps):.3f}, colors={np.mean(colors):.0f}"
     )

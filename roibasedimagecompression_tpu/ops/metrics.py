@@ -27,13 +27,20 @@ def psnr(a: jax.Array, b: jax.Array, data_range: float = 255.0) -> jax.Array:
 
 
 def _uniform_filter_valid(x: jax.Array, win: int) -> jax.Array:
-    """Mean filter with a win x win box, 'valid' output (2-D input)."""
+    """Mean filter with a win x win box, 'valid' output (2-D input).
+
+    Precision.HIGHEST is load-bearing: the TPU's default conv precision
+    multiplies in bf16, and the SSIM variance terms are near-cancelling
+    differences (uxx - ux^2 at ~2e4 magnitude) — bf16's ~90-unit error
+    swamps C2 = 58.5 and produced SSIM values like -7.2 on smooth skies.
+    """
     kernel = jnp.ones((win, win), jnp.float32) / float(win * win)
     return jax.lax.conv_general_dilated(
         x[None, None, :, :].astype(jnp.float32),
         kernel[None, None, :, :],
         window_strides=(1, 1),
         padding="VALID",
+        precision=jax.lax.Precision.HIGHEST,
     )[0, 0]
 
 

@@ -88,3 +88,17 @@ def test_lenna_baseline(reference_images):
     assert res.psnr == pytest.approx(33.26, abs=0.02)
     assert res.file_bytes == 122736
     assert res.bpp == pytest.approx(3.75, abs=0.01)
+
+
+def test_ssim_smooth_gradient_tight(rng):
+    """Near-cancelling variance regression: smooth bright content made the
+    TPU conv's default bf16 multiplies blow SSIM past [-1, 1] (observed
+    -7.2).  Precision.HIGHEST in the uniform filter is load-bearing; this
+    pins a tight oracle match on adversarially smooth content."""
+    ramp = np.linspace(180, 250, 64, dtype=np.float32)
+    a = np.broadcast_to(ramp, (64, 64)).astype(np.uint8)
+    b = np.clip(a.astype(int) + rng.integers(-2, 3, a.shape), 0, 255).astype(np.uint8)
+    ours = float(M.ssim_single(a, b))
+    oracle = _ssim_oracle(a, b)
+    assert abs(ours - oracle) < 1e-4
+    assert -1.0 <= ours <= 1.0
