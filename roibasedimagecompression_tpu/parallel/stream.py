@@ -30,7 +30,6 @@ from roibasedimagecompression_tpu.io import container
 from roibasedimagecompression_tpu.models import codec as CODEC
 from roibasedimagecompression_tpu.models import quantize_batched as QB
 from roibasedimagecompression_tpu.models import roi_fused as RF
-from roibasedimagecompression_tpu.models import segment as SEG
 from roibasedimagecompression_tpu.utils.timing import stage_timer
 
 
