@@ -92,11 +92,12 @@ def main():
 
     # Measured run: best of two passes (host timing on this single-core VM
     # is noisy — page-fault storms swing individual host stages by seconds).
+    workers = int(os.environ.get("RHCCQ_STREAM_WORKERS", "2"))
     dt = float("inf")
     for attempt in range(2):
         timing.reset_stages()
         t0 = time.perf_counter()
-        blob_batches = stream.encode_stream(bench_batches, cfg)
+        blob_batches = stream.encode_stream(bench_batches, cfg, workers=workers)
         dt_i = time.perf_counter() - t0
         log(f"measured pass {attempt}: {dt_i:.1f}s")
         dt = min(dt, dt_i)
