@@ -242,12 +242,11 @@ def tiers23_colors_many(t1_list: list, group_map_list: list, config: cfg.CodecCo
                 owner.append(k)
     t2_list = [np.zeros_like(t1) for t1 in t1_list]
     if colors_in:
-        mapped = QB.cluster_color_maps_many(
+        QB.cluster_color_maps_many(
             colors_in, sels, quals, seed=config.seed,
             weighted=config.weighted_palette, mesh=mesh,
+            out_list=[t2_list[k] for k in owner],
         )
-        for j, k in enumerate(owner):
-            t2_list[k][sels[j]] = mapped[j]
 
     # ---- optional black-hole fill before tier 3 (image.py:259 call point) ---
     if config.fill_black_holes > 0:
@@ -272,12 +271,11 @@ def tiers23_colors_many(t1_list: list, group_map_list: list, config: cfg.CodecCo
             owner.append(k)
     t3_list = [np.zeros_like(t2) for t2 in t2_list]
     if colors_in:
-        mapped = QB.cluster_color_maps_many(
+        QB.cluster_color_maps_many(
             colors_in, sels, [config.image_quality] * len(colors_in),
             seed=config.seed, weighted=config.weighted_palette, mesh=mesh,
+            out_list=[t3_list[k] for k in owner],
         )
-        for j, k in enumerate(owner):
-            t3_list[k][sels[j]] = mapped[j]
     return t2_list, t3_list
 
 

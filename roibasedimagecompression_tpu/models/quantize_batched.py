@@ -339,7 +339,12 @@ def tier1_colors(
         cluster_colors = means.astype(np.uint8)
 
         out = np.zeros_like(image_rgb)
-        out[mask] = cluster_colors[cluster_of_pair[inverse]]
+        from roibasedimagecompression_tpu import native
+
+        if not native.paint_masked_colors(
+            cluster_colors, cluster_of_pair, inverse, mask, out
+        ):
+            out[mask] = cluster_colors[cluster_of_pair[inverse]]
     return out
 
 
@@ -351,8 +356,15 @@ def cluster_color_maps_many(
     seed: int = 42,
     weighted: bool = True,
     mesh=None,
+    out_list: list | None = None,
 ) -> list:
     """Batched tier-2/3 color-map clustering across MANY problems.
+
+    With `out_list` ((h, w, 3) uint8 canvases aligned with the problems — an
+    entry may repeat when several problems share one canvas), the mapped
+    colors paint straight into the canvases at the sel pixels (native when
+    available) and out_list is returned; otherwise a list of (n_sel_i, 3)
+    arrays is returned.
 
     Each problem is (colors_rgb (h, w, 3) uint8, sel (h, w) bool, quality):
     cluster the palette of colors_rgb[sel] with black pinned (never clustered,
@@ -400,6 +412,8 @@ def cluster_color_maps_many(
                 np.concatenate(keys_parts) if keys_parts else np.zeros(0, np.int64)
             )
         if sum(pixel_counts) == 0:
+            if out_list is not None:
+                return out_list
             return [np.zeros((0, 3), np.uint8) for _ in range(n_prob)]
         uniq, inverse, pair_pixel_counts = _unique_inverse(keys, return_counts=True)
     prob_of_pair = (uniq >> 24).astype(np.int32)
@@ -502,6 +516,23 @@ def cluster_color_maps_many(
     # Pinned black stays exactly black regardless of weighting.
     pair_colors = cluster_colors[cluster_of_pair]
     pair_colors[black_rows] = 0
+
+    if out_list is not None:
+        # Paint straight into the caller's canvases (sel pixels only) — the
+        # pooled gather + per-problem boolean scatter was a dominant host
+        # cost at large image sizes.
+        from roibasedimagecompression_tpu import native
+
+        off = 0
+        for i in range(n_prob):
+            cnt = pixel_counts[i]
+            inv_slice = inverse[off : off + cnt]
+            if not native.paint_masked_colors(
+                pair_colors, None, inv_slice, sel_list[i], out_list[i]
+            ):
+                out_list[i][sel_list[i]] = pair_colors[inv_slice]
+            off += cnt
+        return out_list
 
     mapped = pair_colors[inverse]
     out = []

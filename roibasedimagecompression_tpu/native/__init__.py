@@ -102,6 +102,11 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.paint_masked_colors.restype = None
+        lib.paint_masked_colors.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.score_candidates.restype = ctypes.c_int32
         lib.score_candidates.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -308,6 +313,30 @@ def pack_pairs(image_rgb: np.ndarray, seg_map: np.ndarray):
     )
     n_masked = int((seg > 0).sum())
     return uniq[:m].copy(), inverse[:n_masked].copy(), counts[:m].copy()
+
+
+def paint_masked_colors(table: np.ndarray, idx1, inverse: np.ndarray,
+                        mask: np.ndarray, out: np.ndarray) -> bool:
+    """out[mask] = table[idx1[inverse]] (or table[inverse] when idx1 is None),
+    in row-major mask order, writing in place.  Returns False when the native
+    library is unavailable (callers fall back to NumPy fancy indexing).
+    """
+    lib = get_lib()
+    if lib is None:
+        return False
+    t = np.ascontiguousarray(table, dtype=np.uint8)
+    inv = np.ascontiguousarray(inverse, dtype=np.int64)
+    m = np.ascontiguousarray(mask != 0, dtype=np.uint8).reshape(-1)
+    assert out.dtype == np.uint8 and out.flags.c_contiguous
+    assert out.size == m.size * 3
+    i1 = None
+    if idx1 is not None:
+        i1 = np.ascontiguousarray(idx1, dtype=np.int64)
+    lib.paint_masked_colors(
+        t.ctypes.data, i1.ctypes.data if i1 is not None else None,
+        inv.ctypes.data, m.ctypes.data, m.size, out.ctypes.data,
+    )
+    return True
 
 
 def pack_sel_keys(colors: np.ndarray, sel: np.ndarray, tag: int,

@@ -1263,6 +1263,26 @@ int64_t pack_pairs(const uint8_t* rgb, const int32_t* seg, int64_t n,
   return u;
 }
 
+// Masked color writeback: for the j-th masked pixel (row-major scan order),
+// out[i] = table[idx1 ? idx1[inverse[j]] : inverse[j]].  Replaces the
+// NumPy gather + boolean-scatter chain that dominated the tier writebacks
+// at large image sizes.  Unmasked pixels are left untouched.
+void paint_masked_colors(const uint8_t* table, const int64_t* idx1,
+                         const int64_t* inverse, const uint8_t* mask,
+                         int64_t n_pixels, uint8_t* out) {
+  int64_t j = 0;
+  for (int64_t i = 0; i < n_pixels; ++i) {
+    if (!mask[i]) continue;
+    int64_t p = inverse[j++];
+    if (idx1) p = idx1[p];
+    const uint8_t* c = table + 3 * p;
+    uint8_t* o = out + 3 * i;
+    o[0] = c[0];
+    o[1] = c[1];
+    o[2] = c[2];
+  }
+}
+
 // Tier-2/3 pooled packing: write tag<<24|rgb keys for selected pixels into
 // out (row-major sel order).  Returns the number of keys written.
 int64_t pack_sel(const uint8_t* colors, const uint8_t* sel, int64_t n,
