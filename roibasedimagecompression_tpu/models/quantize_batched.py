@@ -551,8 +551,10 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
     buckets them by size, and runs one vmapped k-means per bucket.  All host
     bookkeeping is vectorized (key assignment + one np.unique per level).
     """
+    from roibasedimagecompression_tpu import native
+
     for _level in range(8):  # recursion depth bound (sizes shrink ~max/level)
-        order = np.argsort(cluster_of_pair, kind="stable")
+        order = native.argsort_i64(cluster_of_pair)
         sorted_cluster = cluster_of_pair[order]
         _, starts, sizes = _runs_of_sorted(sorted_cluster)
         limits = pair_max_colors[order[starts]]

@@ -92,6 +92,10 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.argsort_i64.restype = None
+        lib.argsort_i64.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.pack_pairs.restype = ctypes.c_int64
         lib.pack_pairs.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -357,6 +361,17 @@ def pack_sel_keys(colors: np.ndarray, sel: np.ndarray, tag: int,
             out.ctypes.data + offset * 8,
         )
     )
+
+
+def argsort_i64(keys: np.ndarray) -> np.ndarray:
+    """Stable argsort of int64 keys via radix sort; np.argsort fallback."""
+    flat = np.ascontiguousarray(keys, dtype=np.int64).reshape(-1)
+    lib = get_lib()
+    if lib is None or flat.size == 0:
+        return np.argsort(flat, kind="stable")
+    order = np.empty(flat.size, np.int64)
+    lib.argsort_i64(flat.ctypes.data, flat.size, order.ctypes.data)
+    return order
 
 
 def unique_inverse_i64(keys: np.ndarray, return_counts: bool = False):

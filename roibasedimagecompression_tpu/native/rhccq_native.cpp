@@ -1221,6 +1221,19 @@ int64_t sort_unique_inverse(const int64_t* keys, int64_t n, int64_t* uniq_out,
   return m;
 }
 
+// Stable argsort of int64 keys via the shared radix machinery (LSD radix is
+// stable, so equal keys keep input order — matches np.argsort(kind='stable')).
+void argsort_i64(const int64_t* keys, int64_t n, int64_t* order_out) {
+  if (n <= 0) return;
+  const uint64_t bias = 0x8000000000000000ull;
+  auto& a = rsort::buf_a();
+  if (static_cast<int64_t>(a.size()) < n) a.resize(n);
+  for (int64_t i = 0; i < n; ++i)
+    a[i] = {static_cast<uint64_t>(keys[i]) ^ bias, i};
+  const rsort::KV* src = rsort::radix_sort(n);
+  for (int64_t i = 0; i < n; ++i) order_out[i] = src[i].i;
+}
+
 // Pair-table construction for tier-1: one pass over the tall (n, 3) image +
 // (n,) segment map builds, sorts and dedups the (segment, color) pair table.
 // Replaces ~6 full-size NumPy temporaries (pack, key, mask-compact, unique)
