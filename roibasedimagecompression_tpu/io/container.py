@@ -91,12 +91,35 @@ class Rhccq:
         return self.palette[self.indices]
 
 
-def pack(palette: np.ndarray, indices: np.ndarray, shape=None, *, use_rle: bool = False) -> bytes:
+def _compress(data: bytes, level: int) -> bytes:
+    """Entropy stage: level 0 = zlib.compress(.., 9) (byte-compatible with
+    the reference writer); 1-12 = libdeflate at that level (same zlib stream
+    format — any inflater, including the reference decoder, reads it)."""
+    if level == 0:
+        return zlib.compress(data, 9)
+    from roibasedimagecompression_tpu import native
+
+    return native.zlib_compress_fast(data, level)
+
+
+def pack(
+    palette: np.ndarray,
+    indices: np.ndarray,
+    shape=None,
+    *,
+    use_rle: bool = False,
+    level: int = 0,
+) -> bytes:
     """Serialize palette + indices to .rhccq bytes (reference-compatible).
 
-    Matches lossless_compress_optimized + save_compressed byte-for-byte given
-    the same inputs: zlib level 9 for both streams and for the pickled dict,
-    pickle protocol 5, minimal index dtype chosen from the max index.
+    With level=0 (default) this matches lossless_compress_optimized +
+    save_compressed byte-for-byte given the same inputs: zlib level 9 for
+    both streams and for the pickled dict, pickle protocol 5, minimal index
+    dtype chosen from the max index.  level 1-12 swaps the entropy stage for
+    libdeflate at that level — the output is still a standard zlib stream
+    (format-identical, byte-different), decodable by the reference decoder
+    (uncompression.py:58-127).  The outer pickled-dict blob is mostly the two
+    already-compressed streams, so fast mode compresses it at level 1.
     """
     palette = np.ascontiguousarray(np.asarray(palette, dtype=np.uint8).reshape(-1, 3))
     indices = np.asarray(indices)
@@ -124,8 +147,8 @@ def pack(palette: np.ndarray, indices: np.ndarray, shape=None, *, use_rle: bool 
         payload = {
             "s": (h, w),
             "l": int(palette.shape[0]),
-            "p": zlib.compress(palette.tobytes(), 9),
-            "i": zlib.compress(np.ascontiguousarray(pairs).tobytes(), 9),
+            "p": _compress(palette.tobytes(), level),
+            "i": _compress(np.ascontiguousarray(pairs).tobytes(), level),
             "d": "uint16",
             "m": "rle",
         }
@@ -133,29 +156,33 @@ def pack(palette: np.ndarray, indices: np.ndarray, shape=None, *, use_rle: bool 
         payload = {
             "s": (h, w),
             "l": int(palette.shape[0]),
-            "p": zlib.compress(palette.tobytes(), 9),
-            "i": zlib.compress(np.ascontiguousarray(flat.astype(dtype)).tobytes(), 9),
+            "p": _compress(palette.tobytes(), level),
+            "i": _compress(np.ascontiguousarray(flat.astype(dtype)).tobytes(), level),
             "d": dtype.name,
         }
-    blob = zlib.compress(pickle.dumps(payload, protocol=5), 9)
+    blob = _compress(pickle.dumps(payload, protocol=5), 0 if level == 0 else 1)
     return MAGIC + struct.pack("<I", len(blob)) + blob
 
 
 def unpack(data: bytes) -> Rhccq:
     """Parse .rhccq bytes (both the 'l'/'d' and legacy 'ps' layouts)."""
+    from roibasedimagecompression_tpu import native
+
     if data[:5] != MAGIC:
         raise ValueError("Invalid file format")
     (size,) = struct.unpack("<I", data[5:9])
-    payload = _restricted_loads(zlib.decompress(data[9 : 9 + size]))
+    payload = _restricted_loads(native.zlib_decompress_fast(data[9 : 9 + size]))
     if not isinstance(payload, dict):
         raise ValueError("corrupt container payload")
     h, w = payload["s"]
     if "l" not in payload and "ps" not in payload:
         raise ValueError("corrupt container payload (no palette length)")
     n_colors = int(payload.get("l", payload.get("ps")))
-    palette = np.frombuffer(zlib.decompress(payload["p"]), dtype=np.uint8)
+    palette = np.frombuffer(
+        native.zlib_decompress_fast(payload["p"], n_colors * 3), dtype=np.uint8
+    )
     palette = palette.reshape(n_colors, 3).copy()
-    raw = zlib.decompress(payload["i"])
+    raw = native.zlib_decompress_fast(payload["i"])
     if payload.get("m") == "rle":
         from roibasedimagecompression_tpu import native
 

@@ -343,7 +343,7 @@ def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
         indices = indices.reshape(h, w)
 
     with stage_timer("container"):
-        return C.pack(palette, indices)
+        return C.pack(palette, indices, level=config.container_level)
 
 
 def encode_debug(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -> dict:
@@ -396,7 +396,7 @@ def encode_debug(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -
         "tier1": t1,
         "tier2": t2,
         "tier3": t3,
-        "data": C.pack(palette, indices.reshape(h, w)),
+        "data": C.pack(palette, indices.reshape(h, w), level=config.container_level),
     }
 
 
@@ -457,7 +457,9 @@ def encode(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -> byte
         )
 
     with stage_timer("container"):
-        return container.pack(final.palette, final.indices)
+        return container.pack(
+            final.palette, final.indices, level=config.container_level
+        )
 
 
 def decode(source) -> np.ndarray:

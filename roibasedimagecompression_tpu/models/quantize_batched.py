@@ -285,8 +285,8 @@ def tier1_colors(
                 chunk=min(512, cap),
             )
             pending.append((cap, ids, valid, pair_idx, result))
-        for cap, ids, valid, pair_idx, result in pending:
-            labels = np.asarray(result)
+        collected = SHARD.collect_all([p[4] for p in pending])
+        for (cap, ids, valid, pair_idx, _), labels in zip(pending, collected):
             # Row-local min-index labels -> globally unique keys.
             row_valid = valid[: len(ids)]
             keys = key_base + np.arange(len(ids), dtype=np.int64)[:, None] * (cap + 1) + labels[: len(ids)]
@@ -465,8 +465,8 @@ def cluster_color_maps_many(
                 chunk=min(512, cap),
             )
             pending.append((cap, ids, valid, pair_idx, result))
-        for cap, ids, valid, pair_idx, result in pending:
-            labels = np.asarray(result)
+        collected = SHARD.collect_all([p[4] for p in pending])
+        for (cap, ids, valid, pair_idx, _), labels in zip(pending, collected):
             row_valid = valid[: len(ids)]
             new_keys = (
                 key_base
@@ -619,9 +619,9 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
                     plusplus=k_max <= 256,
                 )
                 pending.append((ids, valid, pair_idx, k_max, result))
-        for ids, valid, pair_idx, k_max, result in pending:
-            with stage_timer("split.kmeans"):
-                labels = np.asarray(result)
+        with stage_timer("split.kmeans"):
+            collected = SHARD.collect_all([p[4] for p in pending])
+        for (ids, valid, pair_idx, k_max, _), labels in zip(pending, collected):
             row_valid = valid[: len(ids)]
             keys = (
                 key_base

@@ -256,9 +256,10 @@ def split_scores_many(crops: list, masks: list, mesh=None) -> list:
                         SHARD.shard_rows(rgb_b, mesh), SHARD.shard_rows(mask_b, mesh)
                     ))
                 )
-        for ids, result in pending:
-            with stage_timer("score.collect"):
-                overall, color, texture, count = (np.asarray(x) for x in result)
+        with stage_timer("score.collect"):
+            flat = SHARD.collect_all([x for _, r in pending for x in r])
+        for j, (ids, _) in enumerate(pending):
+            overall, color, texture, count = flat[4 * j : 4 * j + 4]
             for row, i in enumerate(ids):
                 if count[row] < 100:
                     out[i] = (0.0, 0.0, 0.0)

@@ -29,7 +29,21 @@ def _build() -> bool:
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
-    except Exception:
+    except Exception as e:
+        # A silent failure here would flip the codec onto the (slower, not
+        # byte-identical) device/NumPy fallbacks with no signal — warn once
+        # with the compiler stderr so environment regressions are diagnosable.
+        import warnings
+
+        detail = ""
+        if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+            detail = ": " + e.stderr.decode(errors="replace")[:500]
+        warnings.warn(
+            f"rhccq native runtime build failed ({type(e).__name__}{detail}); "
+            "falling back to device/NumPy paths (slower, and encode bytes may "
+            "differ from the native backend)",
+            RuntimeWarning,
+        )
         return False
 
 
@@ -308,15 +322,21 @@ def pack_pairs(image_rgb: np.ndarray, seg_map: np.ndarray):
     rgb = np.ascontiguousarray(image_rgb, dtype=np.uint8).reshape(-1, 3)
     seg = np.ascontiguousarray(seg_map, dtype=np.int32).reshape(-1)
     n = seg.size
-    uniq = np.empty(n, np.int64)
-    inverse = np.empty(n, np.int64)
-    counts = np.empty(n, np.int64)
+    # The native pass writes <= n_masked entries into each output, so size
+    # the buffers to the masked-pixel count (full-n int64 triples were a
+    # ~0.5 GB transient on the 22 MP path).
+    n_masked = int(np.count_nonzero(seg > 0))
+    if n_masked == 0:
+        z = np.zeros(0, np.int64)
+        return z, z.copy(), z.copy()
+    uniq = np.empty(n_masked, np.int64)
+    inverse = np.empty(n_masked, np.int64)
+    counts = np.empty(n_masked, np.int64)
     m = lib.pack_pairs(
         rgb.ctypes.data, seg.ctypes.data, n,
         uniq.ctypes.data, inverse.ctypes.data, counts.ctypes.data,
     )
-    n_masked = int((seg > 0).sum())
-    return uniq[:m].copy(), inverse[:n_masked].copy(), counts[:m].copy()
+    return uniq[:m].copy(), inverse, counts[:m].copy()
 
 
 def paint_masked_colors(table: np.ndarray, idx1, inverse: np.ndarray,
@@ -392,6 +412,130 @@ def unique_inverse_i64(keys: np.ndarray, return_counts: bool = False):
     if return_counts:
         return uniq[:m].copy(), inverse, counts[:m].copy()
     return uniq[:m].copy(), inverse
+
+
+# ---------------------------------------------------------------------------
+# libdeflate-backed zlib streams (system library, ctypes-bound).
+#
+# libdeflate emits standard RFC 1950 zlib streams — byte-different from
+# zlib's own output but decodable by any zlib inflater (including the
+# reference decoder, uncompression.py:58-127) — at ~4x zlib-9 compression
+# speed, and at levels 10-12 a slightly BETTER ratio than zlib-9.  Python's
+# zlib module is the universal fallback.
+# ---------------------------------------------------------------------------
+
+_ld_lock = threading.Lock()
+_ld = None
+_ld_tried = False
+
+
+def _libdeflate():
+    global _ld, _ld_tried
+    with _ld_lock:
+        if _ld is not None or _ld_tried:
+            return _ld
+        _ld_tried = True
+        for name in ("libdeflate.so.0", "libdeflate.so", "libdeflate.so.1"):
+            try:
+                lib = ctypes.CDLL(name)
+                break
+            except OSError:
+                lib = None
+        if lib is None:
+            return None
+        lib.libdeflate_alloc_compressor.restype = ctypes.c_void_p
+        lib.libdeflate_alloc_compressor.argtypes = [ctypes.c_int]
+        lib.libdeflate_free_compressor.argtypes = [ctypes.c_void_p]
+        lib.libdeflate_zlib_compress_bound.restype = ctypes.c_size_t
+        lib.libdeflate_zlib_compress_bound.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.libdeflate_zlib_compress.restype = ctypes.c_size_t
+        lib.libdeflate_zlib_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.libdeflate_alloc_decompressor.restype = ctypes.c_void_p
+        lib.libdeflate_free_decompressor.argtypes = [ctypes.c_void_p]
+        lib.libdeflate_zlib_decompress.restype = ctypes.c_int
+        lib.libdeflate_zlib_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+        ]
+        _ld = lib
+        return _ld
+
+
+def zlib_compress_fast(data, level: int = 12) -> bytes:
+    """zlib-format compression via libdeflate (levels 1-12); zlib fallback.
+
+    Output is a standard zlib stream: any inflater decodes it.  Not
+    byte-identical to zlib.compress — use io.container's legacy entropy mode
+    when byte-level writer parity with the reference matters.
+    """
+    import zlib as _z
+
+    lib = _libdeflate()
+    buf = bytes(data) if not isinstance(data, (bytes, bytearray, memoryview)) else data
+    if lib is None:
+        return _z.compress(bytes(buf), min(int(level), 9))
+    n = len(buf)
+    comp = lib.libdeflate_alloc_compressor(int(level))
+    if not comp:
+        return _z.compress(bytes(buf), min(int(level), 9))
+    try:
+        bound = lib.libdeflate_zlib_compress_bound(comp, n)
+        out = ctypes.create_string_buffer(bound)
+        src = (ctypes.c_char * n).from_buffer_copy(buf) if n else None
+        m = lib.libdeflate_zlib_compress(
+            comp, src, n, out, bound
+        )
+        if m == 0:
+            return _z.compress(bytes(buf), min(int(level), 9))
+        return out.raw[:m]
+    finally:
+        lib.libdeflate_free_compressor(comp)
+
+
+def zlib_decompress_fast(data: bytes, out_size: int | None = None) -> bytes:
+    """zlib-format decompression via libdeflate; zlib fallback.
+
+    out_size is the exact decompressed size when known (container fields
+    carry it implicitly); when None, the buffer grows geometrically from an
+    initial guess until libdeflate stops reporting INSUFFICIENT_SPACE (3).
+    """
+    import zlib as _z
+
+    lib = _libdeflate()
+    if lib is None:
+        return _z.decompress(data)
+    n = len(data)
+    dec = lib.libdeflate_alloc_decompressor()
+    if not dec:
+        return _z.decompress(data)
+    try:
+        src = (ctypes.c_char * n).from_buffer_copy(data) if n else None
+        cap = int(out_size) if out_size else max(4 * n, 1 << 16)
+        actual = ctypes.c_size_t(0)
+        for _ in range(8):
+            out = ctypes.create_string_buffer(cap)
+            rc = lib.libdeflate_zlib_decompress(
+                dec, src, n, out, cap, ctypes.byref(actual)
+            )
+            if rc == 0:
+                if out_size is not None and actual.value != out_size:
+                    raise ValueError(
+                        f"zlib stream decoded to {actual.value} bytes, "
+                        f"expected {out_size}"
+                    )
+                return out.raw[: actual.value]
+            if rc == 3 and out_size is None:  # INSUFFICIENT_SPACE: grow
+                cap *= 4
+                continue
+            raise ValueError(f"bad zlib stream (libdeflate rc={rc})")
+        return _z.decompress(data)
+    finally:
+        lib.libdeflate_free_decompressor(dec)
 
 
 def cc_label(mask: np.ndarray, connectivity: int = 8):

@@ -286,13 +286,15 @@ inline int clampi(int i, int lo, int hi) {
 void box_count(const uint8_t* m, int h, int w, int k, int32_t* out) {
   const int p = k / 2;
   const int ph = h + 2 * p, pw = w + 2 * p;
-  // Integral image over the reflect-padded mask.
-  std::vector<int32_t> integral(static_cast<size_t>(ph + 1) * (pw + 1), 0);
+  // Integral image over the reflect-padded mask.  int64 accumulator: the
+  // callers' 2^31 guard bounds h*w only, so a foreground-dense image just
+  // under the guard could overflow an int32 over the (h+2p)x(w+2p) padding.
+  std::vector<int64_t> integral(static_cast<size_t>(ph + 1) * (pw + 1), 0);
   for (int r = 0; r < ph; ++r) {
     const int sr = reflect101(r - p, h);
-    int32_t row_sum = 0;
-    const int32_t* up = &integral[static_cast<size_t>(r) * (pw + 1)];
-    int32_t* cur = &integral[static_cast<size_t>(r + 1) * (pw + 1)];
+    int64_t row_sum = 0;
+    const int64_t* up = &integral[static_cast<size_t>(r) * (pw + 1)];
+    int64_t* cur = &integral[static_cast<size_t>(r + 1) * (pw + 1)];
     cur[0] = 0;
     for (int c = 0; c < pw; ++c) {
       const int sc = reflect101(c - p, w);
@@ -303,11 +305,11 @@ void box_count(const uint8_t* m, int h, int w, int k, int32_t* out) {
   for (int r = 0; r < h; ++r) {
     for (int c = 0; c < w; ++c) {
       const int r0 = r, r1 = r + k, c0 = c, c1 = c + k;  // padded coords
-      out[static_cast<int64_t>(r) * w + c] =
+      out[static_cast<int64_t>(r) * w + c] = static_cast<int32_t>(
           integral[static_cast<size_t>(r1) * (pw + 1) + c1] -
           integral[static_cast<size_t>(r0) * (pw + 1) + c1] -
           integral[static_cast<size_t>(r1) * (pw + 1) + c0] +
-          integral[static_cast<size_t>(r0) * (pw + 1) + c0];
+          integral[static_cast<size_t>(r0) * (pw + 1) + c0]);
     }
   }
 }

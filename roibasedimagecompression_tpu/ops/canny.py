@@ -410,7 +410,9 @@ def select_thresholds(image_rgb: np.ndarray):
         mag_c, nms_c = native.gradient_nms_rgb(image_rgb)
         return low, high, mag_c.astype(np.float32), nms_c
     out = edge_analysis(jnp.asarray(image_rgb))
-    gray, cands, mag_g, nms_g, mag_c, nms_c = (np.asarray(x) for x in out)
+    from roibasedimagecompression_tpu.parallel import shard as SHARD
+
+    gray, cands, mag_g, nms_g, mag_c, nms_c = SHARD.collect_all(out)
     best = score_candidates_host(gray, mag_g, nms_g, cands)
     if best is None:
         scores = edge_quality_scores(jnp.asarray(gray), jnp.asarray(cands))
@@ -444,7 +446,9 @@ def select_thresholds_many(images: np.ndarray):
         return lows, highs
 
     out = edge_analysis_batch(jnp.asarray(images))
-    gray, cands, mag_g, nms_g = (np.asarray(x) for x in out)
+    from roibasedimagecompression_tpu.parallel import shard as SHARD
+
+    gray, cands, mag_g, nms_g = SHARD.collect_all(out)
 
     def score(k):
         best = score_candidates_host(gray[k], mag_g[k], nms_g[k], cands[k])

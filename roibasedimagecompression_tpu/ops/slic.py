@@ -66,6 +66,9 @@ def _slic_core(
     """
     if n_centers > 256:
         raise ValueError("_slic_core returns uint8 ids; n_centers must be <= 256")
+    # uint8 ids use 255 as the wrapped -1 outside-mask sentinel.  n_centers is
+    # the PAD size; callers must mark at most 255 rows center_valid so no
+    # real id aliases the sentinel (_prepare_centers enforces this).
     h, w, _ = rgb_u8.shape
     lab = COL.rgb_to_lab(rgb_u8)
     if sigma > 0:
@@ -213,6 +216,13 @@ def _prepare_centers(mask: np.ndarray, n_segments: int):
         # Keep a uniform subsample to hit the requested count.
         take = np.linspace(0, len(centers_yx) - 1, n_segments).astype(np.int64)
         centers_yx = centers_yx[np.unique(take)]
+    if len(centers_yx) > 255:
+        # The fused core returns uint8 ids with 255 as the outside-mask
+        # sentinel; cap valid centers at 255 so no real id aliases it.  The
+        # logistic window law keeps real counts <= ~150 even at 22 MP, so
+        # this subsample only fires on hand-built inputs.
+        take = np.linspace(0, len(centers_yx) - 1, 255).astype(np.int64)
+        centers_yx = centers_yx[np.unique(take)]
     return centers_yx.astype(np.int32), step
 
 
@@ -342,9 +352,9 @@ def slic_many(
             )
             pending.append((ids, masks_b, result))
 
-    for ids, masks_b, result in pending:
-        with stage_timer("slic.core"):
-            assign_b = np.asarray(result)
+    with stage_timer("slic.core"):
+        collected = SHARD.collect_all([p[2] for p in pending])
+    for (ids, masks_b, _), assign_b in zip(pending, collected):
         if enforce_connectivity:
             with stage_timer("slic.conn"):
                 labels_rows = _enforce_connectivity_bucket(

@@ -40,3 +40,25 @@ def shard_rows(x, mesh):
         return x
     spec = P("data", *([None] * (x.ndim - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def collect_all(results):
+    """Download a list of device arrays with ONE round trip of latency.
+
+    The tunneled chip pays ~33 ms per synchronous per-array fetch even when
+    the result is already computed (measured: 20 ready results cost 654 ms
+    fetched one-by-one vs 64 ms with async host copies).  Starting every
+    copy first lets the round trips overlap; np.asarray then finds the host
+    buffer already (or nearly) filled.  Pass the raw jax arrays straight
+    from the dispatched calls; returns a list of numpy arrays in order.
+    """
+    import numpy as np
+
+    started = []
+    for r in results:
+        try:
+            r.copy_to_host_async()
+        except AttributeError:
+            pass  # numpy / non-jax entries pass through
+        started.append(r)
+    return [np.asarray(r) for r in started]

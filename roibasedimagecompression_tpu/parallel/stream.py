@@ -194,7 +194,9 @@ def encode_many(
         from roibasedimagecompression_tpu.ops import unique as U
 
         palette, indices = U.unique_colors(t3_list[k].reshape(-1, 3))
-        return container.pack(palette, indices.reshape(h, w))
+        return container.pack(
+            palette, indices.reshape(h, w), level=config.container_level
+        )
 
     results: list = [None] * b
     with stage_timer("s.container"):

@@ -169,17 +169,22 @@ def test_reference_law_parity_mode():
     loop path 35.33 dB @ 4.387 bpp.  (Full-image corridor vs the shipped
     artifact: ours 33.16 dB @ 3.586 bpp vs reference 33.26 dB @ 3.75 bpp —
     within 0.1 dB at 0.16 bpp lower rate.)
+
+    container_level=0: the pins were measured with the byte-compat zlib-9
+    entropy stage; the parity contract is about the LAWS, so keep the legacy
+    entropy stage here (the default libdeflate-10 stage shrinks files ~6%).
     """
     img = image_io.imread_rgb("/root/reference/images/png/Lenna.png")[:256, :256]
 
-    data = rtc.encode(img, rtc.CodecConfig(weighted_palette=False))
+    data = rtc.encode(img, rtc.CodecConfig(weighted_palette=False, container_level=0))
     q = M.quality_metrics(img, rtc.decode(data))
     bpp = len(data) * 8 / (256 * 256)
     assert abs(q["psnr"] - 35.53) < 0.5, q["psnr"]
     assert abs(bpp - 4.443) < 0.3, bpp
 
     data = rtc.encode(
-        img, rtc.CodecConfig(weighted_palette=False, batched=False)
+        img,
+        rtc.CodecConfig(weighted_palette=False, batched=False, container_level=0),
     )
     q = M.quality_metrics(img, rtc.decode(data))
     bpp = len(data) * 8 / (256 * 256)

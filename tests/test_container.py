@@ -110,3 +110,43 @@ def test_golden_lenna_stats(reference_images):
     payload = container.load(reference_images / "rhccq_20_10" / "Lenna_compressed.rhccq")
     assert payload.n_colors == 147
     assert payload.shape == (512, 512)
+
+
+def test_fast_entropy_levels_roundtrip(rng):
+    """libdeflate entropy levels emit standard zlib streams: the payload must
+    decode with plain zlib (reference-decoder compatibility) and round-trip."""
+    palette = rng.integers(0, 256, size=(150, 3), dtype=np.uint8)
+    indices = rng.integers(0, 150, size=(64, 96)).astype(np.uint16)
+    for level in (0, 1, 7, 10, 12):
+        data = container.pack(palette, indices, level=level)
+        # Pure-zlib parse (the reference decoder's exact steps,
+        # uncompression.py:129-150): proves format compatibility.
+        (size,) = struct.unpack("<I", data[5:9])
+        payload = pickle.loads(zlib.decompress(data[9 : 9 + size]))
+        assert zlib.decompress(payload["p"]) == palette.tobytes()
+        got = np.frombuffer(zlib.decompress(payload["i"]), dtype=np.uint8)
+        assert np.array_equal(got.reshape(64, 96), indices.astype(np.uint8))
+        # Our own reader too.
+        out = container.unpack(data)
+        assert np.array_equal(out.to_rgb(), palette[indices])
+
+
+def test_fast_entropy_level10_not_larger_than_legacy(rng):
+    """The default codec level (10) must not lose rate vs byte-compat zlib-9
+    on realistic index data (smooth-ish palette indices)."""
+    palette = rng.integers(0, 256, size=(140, 3), dtype=np.uint8)
+    base = rng.integers(0, 140, size=(96, 128))
+    smooth = np.repeat(np.repeat(base[::4, ::4], 4, 0), 4, 1)  # runs, like real maps
+    legacy = container.pack(palette, smooth.astype(np.uint16), level=0)
+    fast = container.pack(palette, smooth.astype(np.uint16), level=10)
+    assert len(fast) <= len(legacy) * 1.02
+
+
+def test_zlib_decompress_fast_unknown_size():
+    from roibasedimagecompression_tpu import native
+
+    blob = bytes(range(256)) * 4096
+    comp = zlib.compress(blob, 6)
+    assert native.zlib_decompress_fast(comp) == blob
+    with pytest.raises(ValueError):
+        native.zlib_decompress_fast(comp, len(blob) + 5)
