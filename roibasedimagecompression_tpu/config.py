@@ -174,6 +174,11 @@ class CodecConfig:
     # 0 disables — matching the reference, whose call is commented out at
     # image.py:259 (it used max_hole_size=50 when enabled).
     fill_black_holes: int = 0
+    # Fast edge-detection mode: single-shot threshold estimation (blend of
+    # intensity-percentile and gradient-percentile laws) instead of the
+    # 20-candidate adaptive Canny sweep — the reference's get_edge_map_fast /
+    # compute_fast_canny_thresholds variant (encoder/ROI/edges.py:210-299).
+    fast_edges: bool = False
     # Container entropy stage.  0 = legacy byte-compat zlib level 9 (the
     # reference writer's exact bytes, compression.py:151-202); 1-12 = that
     # level via libdeflate — still a standard zlib stream the reference

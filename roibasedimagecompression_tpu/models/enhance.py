@@ -57,6 +57,69 @@ def enhance_shadows(
     )
 
 
+#: The reference's named CLAHE parameter presets (test_clahe_parameters,
+#: encoder/enhancer/clahe.py:261-268).
+CLAHE_PRESETS = (
+    ("Conservative", {"clip_limit": 2.0, "tile_size": 8}),
+    ("Balanced", {"clip_limit": 4.0, "tile_size": 8}),
+    ("Aggressive", {"clip_limit": 8.0, "tile_size": 4}),
+    ("Fine Detail", {"clip_limit": 6.0, "tile_size": 4}),
+    ("Smooth", {"clip_limit": 3.0, "tile_size": 16}),
+    ("Personal", {"clip_limit": 3.0, "tile_size": 16}),
+)
+
+
+def clahe_parameter_sweep(
+    image_rgb: np.ndarray,
+    shadow_mask: np.ndarray,
+    combinations=CLAHE_PRESETS,
+    figure_path=None,
+) -> dict:
+    """Run CLAHE over a grid of (clip_limit, tile_size) presets.
+
+    The enhancer parameter-sweep utility (test_clahe_parameters,
+    encoder/enhancer/clahe.py:257-293): for each preset, the enhanced image
+    and the shadow-region L-channel brightening map.  Returns
+    {name: {'enhanced', 'brightening', 'params'}}; with figure_path, also
+    writes the reference's 2-row comparison figure.
+    """
+    import jax.numpy as jnp
+
+    mask = np.asarray(shadow_mask, bool)
+    out = {}
+    lab_orig = np.asarray(COL.rgb_to_lab_cv2(jnp.asarray(image_rgb)))[..., 0]
+    for name, params in combinations:
+        enhanced = clahe_custom_shadows(image_rgb, mask, **params)
+        lab_enh = np.asarray(COL.rgb_to_lab_cv2(jnp.asarray(enhanced)))[..., 0]
+        diff = np.zeros_like(lab_orig, dtype=np.float32)
+        diff[mask] = lab_enh[mask].astype(np.float32) - lab_orig[mask]
+        out[name] = {"enhanced": enhanced, "brightening": diff, "params": dict(params)}
+
+    if figure_path is not None:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        n = len(out)
+        fig, axes = plt.subplots(2, n, figsize=(3.3 * n, 7))
+        for col, (name, r) in enumerate(out.items()):
+            axes[0, col].imshow(r["enhanced"])
+            axes[0, col].set_title(
+                f"{name}\nclip {r['params']['clip_limit']}, "
+                f"tile {r['params']['tile_size']}", fontsize=8,
+            )
+            im = axes[1, col].imshow(r["brightening"], cmap="RdYlBu", vmin=0, vmax=80)
+            axes[1, col].set_title("brightening", fontsize=8)
+            plt.colorbar(im, ax=axes[1, col], fraction=0.046, pad=0.04)
+            for row in (0, 1):
+                axes[row, col].axis("off")
+        fig.tight_layout()
+        fig.savefig(figure_path, dpi=100)
+        plt.close(fig)
+    return out
+
+
 def clahe_full_image(image_rgb: np.ndarray, clip_limit: float = 3.0, grid: int = 8) -> np.ndarray:
     """Whole-image L-channel CLAHE (the enhancer's non-masked variant,
     enhancer/clahe.py:115-184)."""

@@ -293,12 +293,21 @@ def tier1_colors(
             cluster_keys[pair_idx[row_valid]] = keys[row_valid]
             key_base += np.int64(len(ids)) * (cap + 1)
 
-        for pid in big:
-            s, n = starts[pid], sizes[pid]
-            k = cfg.kmeans_n_clusters(n, qualities[pid])
-            lab = CL.kmeans_host(colors[s : s + n], k, seed=seed)
-            cluster_keys[s : s + n] = key_base + lab
-            key_base += np.int64(lab.max()) + 1
+        if len(big):
+            labs = CL.kmeans_host_many(
+                [
+                    (
+                        colors[starts[p] : starts[p] + sizes[p]],
+                        cfg.kmeans_n_clusters(int(sizes[p]), qualities[p]),
+                    )
+                    for p in big
+                ],
+                seed=seed,
+            )
+            for pid, lab in zip(big, labs):
+                s, n = starts[pid], sizes[pid]
+                cluster_keys[s : s + n] = key_base + lab
+                key_base += np.int64(lab.max()) + 1
 
         _, cluster_of_pair = _unique_inverse(cluster_keys)
         next_cluster = int(cluster_of_pair.max()) + 1
@@ -476,12 +485,21 @@ def cluster_color_maps_many(
             cluster_keys[pair_idx[row_valid]] = new_keys[row_valid]
             key_base += np.int64(len(ids)) * (cap + 1)
 
-        for row in big:
-            s, m = nb_starts[row], nb_sizes[row]
-            k = cfg.kmeans_n_clusters(int(m), qualities[row])
-            lab = CL.kmeans_host(colors[s : s + m], k, seed=seed)
-            cluster_keys[s : s + m] = key_base + lab
-            key_base += np.int64(lab.max()) + 1
+        if len(big):
+            labs = CL.kmeans_host_many(
+                [
+                    (
+                        colors[nb_starts[r] : nb_starts[r] + nb_sizes[r]],
+                        cfg.kmeans_n_clusters(int(nb_sizes[r]), qualities[r]),
+                    )
+                    for r in big
+                ],
+                seed=seed,
+            )
+            for row, lab in zip(big, labs):
+                s, m = nb_starts[row], nb_sizes[row]
+                cluster_keys[s : s + m] = key_base + lab
+                key_base += np.int64(lab.max()) + 1
 
         # Every black pair is its own singleton cluster (pinned verbatim).
         black_rows = np.flatnonzero(is_black_pair)
@@ -577,12 +595,27 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
         # cluster) are split one-by-one with chunked device k-means — rare, but
         # silently skipping them would break the max_colors_per_cluster law.
         huge_rows = np.flatnonzero(sizes[oversized] > caps[-1])
-        for row in huge_rows:
-            cid = oversized[row]
-            s, m = starts[cid], sizes[cid]
-            lab = CL.kmeans_host(colors[order[s : s + m]], int(ks[row]), seed=seed)
-            cluster_of_pair[order[s : s + m]] = key_base + lab
-            key_base += np.int64(lab.max()) + 1
+        if len(huge_rows):
+            labs = CL.kmeans_host_many(
+                [
+                    (
+                        colors[
+                            order[
+                                starts[oversized[r]] : starts[oversized[r]]
+                                + sizes[oversized[r]]
+                            ]
+                        ],
+                        int(ks[r]),
+                    )
+                    for r in huge_rows
+                ],
+                seed=seed,
+            )
+            for row, lab in zip(huge_rows, labs):
+                cid = oversized[row]
+                s, m = starts[cid], sizes[cid]
+                cluster_of_pair[order[s : s + m]] = key_base + lab
+                key_base += np.int64(lab.max()) + 1
         # Dispatch all buckets, then collect (overlaps device round-trips).
         import os as _os
 

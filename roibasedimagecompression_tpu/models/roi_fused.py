@@ -185,6 +185,18 @@ def roi_masks_device(image_rgb: jax.Array, rc: cfg.RoiConfig, low=None, high=Non
 def roi_masks(image_rgb: np.ndarray, config: cfg.CodecConfig):
     """Host wrapper matching models/roi.roi_masks (hybrid threshold
     selection + one fused mask graph)."""
+    if config.fast_edges:
+        lows, highs = CANNY.fast_thresholds_many(np.asarray(image_rgb)[None])
+        low, high = float(lows[0]), float(highs[0])
+        from roibasedimagecompression_tpu import native
+
+        out = native.roi_pipeline(image_rgb, low, high, config.roi)
+        if out is not None:
+            return out
+        roi, nonroi = roi_masks_device(
+            jnp.asarray(image_rgb), config.roi, jnp.float32(low), jnp.float32(high)
+        )
+        return np.asarray(roi), np.asarray(nonroi)
     low, high, _, _ = CANNY.select_thresholds(image_rgb)
     roi, nonroi = roi_masks_device(
         jnp.asarray(image_rgb), config.roi, jnp.float32(low), jnp.float32(high)

@@ -285,6 +285,36 @@ def get_edge_map_fast(image_rgb: np.ndarray):
 
 
 @jax.jit
+def _fast_blend_batch(images: jnp.ndarray):
+    """(B, h, w, 3) u8 -> (lows, highs) via the fast single-shot estimator
+    (get_edge_map_fast's blend of percentile and gradient-percentile
+    thresholds, edges.py:210-243) — ONE device call for a whole batch."""
+
+    def one(im):
+        gray = COL.rgb_to_gray_cv2(im)
+        low, high = fast_thresholds(gray, "percentile_fast")
+        gx, gy = CONV.sobel_cv2(gray.astype(jnp.float32))
+        mag = jnp.sqrt(gx * gx + gy * gy)
+        nz = mag > 0
+        glow = H.masked_percentile(mag, nz, 10.0)
+        ghigh = H.masked_percentile(mag, nz, 90.0)
+        return jnp.floor((low + glow) / 2.0), jnp.floor((high + ghigh) / 2.0)
+
+    return jax.vmap(one)(images)
+
+
+def fast_thresholds_many(images) -> tuple:
+    """Batched fast threshold selection (the reduced-candidate MODE of the
+    reference, exposed as CodecConfig.fast_edges).  Skips the 20-candidate
+    adaptive sweep entirely; ~one device call per batch."""
+    lows, highs = _fast_blend_batch(jnp.asarray(images))
+    from roibasedimagecompression_tpu.parallel import shard as SHARD
+
+    lows, highs = SHARD.collect_all([lows, highs])
+    return lows.astype(np.float32), highs.astype(np.float32)
+
+
+@jax.jit
 def edge_analysis(image_rgb: jnp.ndarray):
     """The threshold-independent device work of the adaptive sweep, fused:
     candidate table + gray gradient/NMS (for scoring) + color gradient/NMS

@@ -253,6 +253,46 @@ def kmeans_host(points: np.ndarray, k: int, *, seed: int = 42, iters: int = 25) 
     return np.asarray(labels[:n])
 
 
+def kmeans_host_many(problems: list, *, seed: int = 42, iters: int = 25) -> list:
+    """Batched host wrapper: k-means labels for many (points, k) problems.
+
+    Dispatches every problem's padded kernel first, then collects with one
+    round trip (parallel.shard.collect_all) — the tunneled chip pays ~40 ms
+    per synchronous per-call fetch, which serialized the reference-law
+    >=10k-color segments (clustering.py:207-230) one sync at a time.
+    """
+    from roibasedimagecompression_tpu.parallel import shard as SHARD
+
+    pending = []
+    for points, k in problems:
+        points = np.asarray(points, dtype=np.float32)
+        n, d = points.shape
+        if k <= 1 or n <= 1:
+            pending.append((n, None))
+            continue
+        k = min(k, n)
+        n_pad = _bucket(n)
+        k_max = _bucket(k, minimum=2)
+        pts = np.zeros((n_pad, d), np.float32)
+        pts[:n] = points
+        valid = np.zeros(n_pad, bool)
+        valid[:n] = True
+        labels, _ = kmeans(
+            jnp.asarray(pts), jnp.asarray(valid), k, k_max=k_max, iters=iters,
+            seed=seed, chunk=min(2048, n_pad), plusplus=k_max <= 256,
+        )
+        pending.append((n, labels))
+    collected = SHARD.collect_all([p[1] for p in pending if p[1] is not None])
+    out, j = [], 0
+    for n, lab in pending:
+        if lab is None:
+            out.append(np.zeros(n, dtype=np.int32))
+        else:
+            out.append(collected[j][:n])
+            j += 1
+    return out
+
+
 def _use_pallas() -> bool:
     """Route eps-components through the Pallas kernel on TPU backends.
 

@@ -79,6 +79,23 @@ def unique_colors(pixels: np.ndarray):
         | (pixels[:, 1].astype(np.int32) << 8)
         | pixels[:, 2].astype(np.int32)
     )
+    from roibasedimagecompression_tpu import native
+
+    if native.available():
+        # Host radix sort-unique (~5 ms/image): the device sort costs a
+        # launch + 3 per-array syncs through the tunnel (~150 ms) for what
+        # is pure latency-bound dedup work.  Ascending packed order matches
+        # the device kernel and np.unique(axis=0) lexicographic order.
+        uniq, inverse = native.unique_inverse_i64(packed_np.astype(np.int64))
+        palette = np.stack(
+            [
+                (uniq >> 16) & 0xFF,
+                (uniq >> 8) & 0xFF,
+                uniq & 0xFF,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        return palette, inverse.astype(np.int32)
     if cap != n:
         packed_np = np.concatenate(
             [packed_np, np.full(cap - n, packed_np[0], np.int32)]

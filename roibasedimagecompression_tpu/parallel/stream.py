@@ -74,7 +74,10 @@ def encode_many(
         # Hybrid threshold selection for the whole batch (one device call +
         # threaded host CC scoring), then the mask pipeline.
         with stage_timer("s.thresholds"):
-            lows, highs = CANNY.select_thresholds_many(batch)
+            if config.fast_edges:
+                lows, highs = CANNY.fast_thresholds_many(batch)
+            else:
+                lows, highs = CANNY.select_thresholds_many(batch)
         from roibasedimagecompression_tpu import native as NATIVE
 
         if NATIVE.available():

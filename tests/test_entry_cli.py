@@ -142,3 +142,26 @@ def test_encode_many_roi_fallback(monkeypatch, reference_images):
     monkeypatch.setattr(stream, "_roi_masks_batch", boom)
     got = stream.encode_many(imgs, rtc.CodecConfig())
     assert got == expected
+
+
+@pytest.fixture()
+def lenna128():
+    from roibasedimagecompression_tpu.io import image_io
+
+    return image_io.imread_rgb("/root/reference/images/png/Lenna.png")[:128, :128]
+
+
+def test_fast_edges_mode(lenna128):
+    """CodecConfig.fast_edges: the reduced-candidate threshold mode
+    (get_edge_map_fast / compute_fast_canny_thresholds, edges.py:210-299)
+    encodes end-to-end and stays decodable."""
+    import numpy as np
+    import roibasedimagecompression_tpu as rtc
+
+    img = lenna128[:96, :96]
+    data = rtc.encode(img, rtc.CodecConfig(fast_edges=True))
+    out = rtc.decode(data)
+    assert out.shape == img.shape
+    # Sanity: quality in a plausible band (exact value is mode-dependent).
+    mse = float(((out.astype(float) - img) ** 2).mean())
+    assert mse < 400.0, mse

@@ -335,3 +335,57 @@ def test_container_describe(reference_images):
     assert "147 colors" in text
     assert "512x512" in text
     assert "bpp" in text
+
+
+def test_spline_viz_surface(tmp_path):
+    """Spline visualization module (visualization.py:5-323 equivalent):
+    analysis text + all four figure builders produce files, and the quality
+    metrics follow the reference's index-aligned error convention."""
+    import numpy as np
+    from roibasedimagecompression_tpu.models import spline as SP
+    from roibasedimagecompression_tpu.models import spline_viz as SV
+
+    t = np.linspace(0, 2 * np.pi, 400, endpoint=False)
+    coords = np.column_stack([50 + 30 * np.cos(t), 50 + 20 * np.sin(t)])
+    result = SP.compress_shape(coords, num_sublists=3, compression_ratio=0.25)
+
+    text = SV.compression_analysis(result)
+    assert "DIVIDED COMPRESSION ANALYSIS" in text and "sublists: 3" in text
+
+    key_points = SP.minimal_storage(result)
+    recon = SP.reconstruct_from_minimal(key_points, num_points=400)
+
+    SV.plot_divided_compression(coords, result, tmp_path / "d.png")
+    SV.plot_minimal_storage(coords, key_points, recon, tmp_path / "m.png")
+    SV.plot_reconstruction_overlay(coords, key_points, recon, tmp_path / "o.png")
+    m = SV.plot_quality_metrics(coords, recon, tmp_path / "q.png")
+    for f in ("d.png", "m.png", "o.png", "q.png"):
+        assert (tmp_path / f).stat().st_size > 5000
+    assert m["mean_error"] >= 0 and m["max_error"] >= m["mean_error"]
+    # Index-aligned error (the reference's convention) includes the phase
+    # drift between the original's arc-length indexing and the spline's
+    # uniform parameter — even an ellipse lands at a few px, not ~0.
+    assert m["mean_error"] < 20.0, m
+
+
+def test_clahe_parameter_sweep(tmp_path):
+    """Enhancer parameter sweep (test_clahe_parameters, clahe.py:257-293):
+    all six named presets run, brightening maps are nonnegative in shadows
+    and zero outside, and the comparison figure is written."""
+    import numpy as np
+    from roibasedimagecompression_tpu.models import enhance as EN
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    img[:24] //= 4  # dark half = shadows
+    import jax.numpy as jnp
+    from roibasedimagecompression_tpu.ops import colors as COL
+
+    lab = np.asarray(COL.rgb_to_lab_cv2(jnp.asarray(img)))
+    mask = lab[..., 0] < 100
+    out = EN.clahe_parameter_sweep(img, mask, figure_path=tmp_path / "sweep.png")
+    assert set(out) == {n for n, _ in EN.CLAHE_PRESETS}
+    for r in out.values():
+        assert r["enhanced"].shape == img.shape
+        assert np.all(r["brightening"][~mask] == 0)
+    assert (tmp_path / "sweep.png").stat().st_size > 10000
