@@ -145,11 +145,40 @@ def build_segment_maps_many(
         crops.append(images[k][minr:maxr, minc:maxc])
         masks.append(region.bbox_mask)
 
-    n_segs = SEG.optimal_segments_many(crops, masks, mesh=mesh)
+    # Device-resident crop sources: upload the batch + per-kind region-id
+    # rasters ONCE; split-score and unscaled SLIC buckets gather their crops
+    # in-graph (the host-packed buckets were upload-bound through the
+    # tunnel).  Requires same-shape images and uint16 region ids.
+    dbatch = None
+    sources = None
+    shapes = {im.shape for im in images}
+    if len(shapes) == 1 and 0 < len(flat_regions) < 65535:
+        h, w = images[0].shape[:2]
+        reg_a = np.zeros((len(images), h, w), np.uint16)  # nonroi regions
+        reg_b = np.zeros((len(images), h, w), np.uint16)  # roi regions
+        sources = []
+        for j, (k, region) in enumerate(flat_regions):
+            minr, minc, maxr, maxc = region.bbox
+            kind = 1 if region.kind == "roi" else 0
+            target = reg_b if kind else reg_a
+            view = target[k, minr:maxr, minc:maxc]
+            view[region.bbox_mask] = j + 1
+            sources.append(
+                (k, minr, minc, maxr - minr, maxc - minc, j + 1, kind)
+            )
+        with stage_timer("seg.upload"):
+            dbatch = SEG.DeviceBatch(
+                np.stack([np.asarray(im, np.uint8) for im in images]),
+                reg_a, reg_b, mesh=mesh,
+            )
+
+    n_segs = SEG.optimal_segments_many(
+        crops, masks, mesh=mesh, sources=sources, dbatch=dbatch
+    )
     labels_list = SEG.region_segments_many(
         crops, masks, n_segs,
         compactness=config.slic_compactness, sigma=config.slic_sigma,
-        mesh=mesh,
+        mesh=mesh, sources=sources, dbatch=dbatch,
     )
 
     results = []

@@ -10,6 +10,7 @@ and labels are upsampled back (slic.py:41-104).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -122,6 +123,82 @@ def process_regions_with_reassignment(
     return new_roi, new_nonroi
 
 
+class DeviceBatch:
+    """Device-resident image batch + region-id rasters for in-graph crops.
+
+    The tunneled chip uploads at ~80 MB/s with ~40 ms fixed cost per
+    transfer, so the old host-packed crop buckets (every bucket re-uploading
+    its padded crops) were upload-bound.  Instead the same-shape image batch
+    and two uint16 region-id rasters (ROI and non-ROI regions can overlap in
+    the 3-px buffer zone, extract_roi_nonroi roi.py:685-718 — hence one map
+    per kind) upload ONCE, zero-padded by 256 px on device so every bucket
+    window is a clean dynamic_slice; each bucket's kernel gathers its own
+    crops in-graph.  Zeroing beyond each region's bbox inside the window
+    reproduces the host packing exactly (conv boundary parity).
+    """
+
+    PAD = 256  # >= max bucket overshoot (score tiers step <= 256, SLIC < 128)
+
+    def __init__(self, images: np.ndarray, reg_nonroi: np.ndarray,
+                 reg_roi: np.ndarray, mesh=None):
+        self.hw = images.shape[1:3]
+        self.mesh = mesh
+        img, ra, rb = _pad_device_batch(
+            _replicated(images, mesh),
+            _replicated(reg_nonroi, mesh),
+            _replicated(reg_roi, mesh),
+        )
+        self.img, self.reg_a, self.reg_b = img, ra, rb
+        self._t = None
+
+    def transposed(self):
+        if self._t is None:
+            self._t = _transpose_device_batch(self.img, self.reg_a, self.reg_b)
+        return self._t
+
+
+def _replicated(x, mesh):
+    if mesh is None:
+        return jnp.asarray(x)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(np.asarray(x), NamedSharding(mesh, P()))
+
+
+@jax.jit
+def _pad_device_batch(img, reg_a, reg_b):
+    p = DeviceBatch.PAD
+    return (
+        jnp.pad(img, ((0, 0), (0, p), (0, p), (0, 0))),
+        jnp.pad(reg_a, ((0, 0), (0, p), (0, p))),
+        jnp.pad(reg_b, ((0, 0), (0, p), (0, p))),
+    )
+
+
+@jax.jit
+def _transpose_device_batch(img, reg_a, reg_b):
+    return (
+        jnp.transpose(img, (0, 2, 1, 3)),
+        jnp.transpose(reg_a, (0, 2, 1)),
+        jnp.transpose(reg_b, (0, 2, 1)),
+    )
+
+
+def gather_crop_args(ids, sources, transposed_flags, mesh=None):
+    """Stack per-row gather descriptors (img, top, left, h0, w0, rid, kind)
+    into padded int32 arrays for the in-graph crop gather."""
+    from roibasedimagecompression_tpu.parallel import shard as SHARD
+
+    rows = len(ids)
+    cols = np.zeros((7, max(rows, 1)), np.int32)
+    for row, i in enumerate(ids):
+        k, top, left, h0, w0, rid, kind = sources[i]
+        if transposed_flags[row]:
+            top, left, h0, w0 = left, top, w0, h0
+        cols[:, row] = (k, top, left, h0, w0, rid, kind)
+    return cols
+
+
 def _pow2_bucket(n: int, minimum: int = 64) -> int:
     """Shape-bucket a split-score dim: coarse tiers (256, 512, 768, 1024),
     then multiples of 64.
@@ -200,6 +277,34 @@ def _split_score_batch(rgbs: jnp.ndarray, masks: jnp.ndarray):
     return jax.vmap(_split_score_jit)(rgbs, masks)
 
 
+def _gather_crop(img_pad, reg_a, reg_b, k, top, left, h0, w0, rid, kind, ph, pw):
+    """One (ph, pw) crop + region mask sliced from the padded device batch.
+
+    The rgb window zeroes beyond the (h0, w0) bbox — identical layout to the
+    host-packed buckets, so conv boundary behavior matches bit-for-bit."""
+    crop = jax.lax.dynamic_slice(img_pad, (k, top, left, 0), (1, ph, pw, 3))[0]
+    ra = jax.lax.dynamic_slice(reg_a, (k, top, left), (1, ph, pw))[0]
+    rb = jax.lax.dynamic_slice(reg_b, (k, top, left), (1, ph, pw))[0]
+    inb = (jnp.arange(ph)[:, None] < h0) & (jnp.arange(pw)[None, :] < w0)
+    rgb = jnp.where(inb[..., None], crop, 0)
+    mask = jnp.where(kind == 1, rb == rid, ra == rid) & inb
+    return rgb, mask
+
+
+@functools.partial(jax.jit, static_argnames=("ph", "pw"))
+def _split_score_batch_gather(img_pad, reg_a, reg_b, rows, *, ph, pw):
+    """rows: (bsz, 7) int32 [img, top, left, h0, w0, rid, kind] descriptors."""
+
+    def one(r):
+        rgb, mask = _gather_crop(
+            img_pad, reg_a, reg_b, r[0], r[1], r[2], r[3], r[4], r[5], r[6],
+            ph, pw,
+        )
+        return _split_score_jit(rgb, mask)
+
+    return jax.vmap(one)(rows)
+
+
 def _pad_batch(b: int, row_pixels: int = 0) -> int:
     """Batch padding to a multiple of four, minimum 4 (same policy as
     ops/slic._pad_batch).  Huge-row buckets (>= 2 MP per row — the 22 MP
@@ -211,14 +316,23 @@ def _pad_batch(b: int, row_pixels: int = 0) -> int:
     return max(4, -(-b // 4) * 4)
 
 
-def split_scores_many(crops: list, masks: list, mesh=None) -> list:
+def split_scores_many(
+    crops: list, masks: list, mesh=None, sources: list | None = None,
+    dbatch: DeviceBatch | None = None,
+) -> list:
     """Batched split scores: one vmapped device call per shape bucket.
+
+    With `sources`/`dbatch`, rows gather their crops in-graph from the
+    device-resident batch (no per-bucket host packing or upload); rows whose
+    sources entry is None use the host-packed path.
 
     Returns a list of (overall, color, texture) tuples; tiny regions
     (<100 px) score 0 (split_score.py:20-23 early-out).
     """
     n = len(crops)
     out: list = [None] * n
+    if sources is None:
+        sources = [None] * n
     # Orientation canonicalization (EXACT: every split-score statistic is
     # transpose-invariant — masked moments/histograms, isotropic Sobel
     # magnitudes, rotation-invariant-uniform LBP codes) halves the number of
@@ -227,12 +341,18 @@ def split_scores_many(crops: list, masks: list, mesh=None) -> list:
     buckets: dict = {}
     for i in range(n):
         c, m = crops[i], masks[i]
-        if m.shape[1] > m.shape[0]:
-            c = np.ascontiguousarray(np.transpose(c, (1, 0, 2)))
+        transposed = m.shape[1] > m.shape[0]
+        if transposed:
+            c = None if sources[i] is not None else np.ascontiguousarray(
+                np.transpose(c, (1, 0, 2))
+            )
             m = m.T
-        canon.append((c, m))
+        elif sources[i] is not None:
+            c = None
+        canon.append((c, m, transposed))
         h, w = m.shape
-        buckets.setdefault((_pow2_bucket(h), _pow2_bucket(w)), []).append(i)
+        src = sources[i] is not None and dbatch is not None
+        buckets.setdefault((_pow2_bucket(h), _pow2_bucket(w), src), []).append(i)
     from roibasedimagecompression_tpu.parallel import shard as SHARD
 
     with stage_timer("seg.score"):
@@ -240,13 +360,40 @@ def split_scores_many(crops: list, masks: list, mesh=None) -> list:
         # collect — overlaps the per-call device round-trip latency across
         # buckets instead of serializing it.
         pending = []
-        for (ph, pw), ids in buckets.items():
+        for (ph, pw, src), ids in buckets.items():
+            if src:
+                # Transposed rows slice the transposed batch (a different
+                # static source orientation), so orientations dispatch
+                # separately within the bucket.
+                with stage_timer("score.dispatch"):
+                    tflags = [canon[i][2] for i in ids]
+                    rows = gather_crop_args(ids, sources, tflags, mesh)
+                    for flag in (False, True):
+                        sel = [r for r in range(len(ids)) if tflags[r] == flag]
+                        if not sel:
+                            continue
+                        sub = np.zeros(
+                            (SHARD.pad_rows(_pad_batch(len(sel), ph * pw), mesh), 7),
+                            np.int32,
+                        )
+                        sub[: len(sel)] = rows[:, sel].T
+                        img, ra, rb = (
+                            dbatch.transposed() if flag
+                            else (dbatch.img, dbatch.reg_a, dbatch.reg_b)
+                        )
+                        pending.append(
+                            ([ids[r] for r in sel], _split_score_batch_gather(
+                                img, ra, rb, SHARD.shard_rows(sub, mesh),
+                                ph=ph, pw=pw,
+                            ))
+                        )
+                continue
             with stage_timer("score.pack"):
                 bsz = SHARD.pad_rows(_pad_batch(len(ids), ph * pw), mesh)
                 rgb_b = np.zeros((bsz, ph, pw, 3), np.uint8)
                 mask_b = np.zeros((bsz, ph, pw), bool)
                 for row, i in enumerate(ids):
-                    c, m = canon[i]
+                    c, m, _ = canon[i]
                     h, w = m.shape
                     rgb_b[row, :h, :w] = c
                     mask_b[row, :h, :w] = m
@@ -273,10 +420,13 @@ def split_score(bbox_rgb: np.ndarray, bbox_mask: np.ndarray):
     return split_scores_many([bbox_rgb], [bbox_mask])[0]
 
 
-def optimal_segments_many(crops: list, masks: list, mesh=None) -> list:
+def optimal_segments_many(
+    crops: list, masks: list, mesh=None, sources: list | None = None,
+    dbatch: DeviceBatch | None = None,
+) -> list:
     """Batched split score -> SLIC segment counts via the logistic window law
     (encoder/compression/subregions.py:133-138)."""
-    scores = split_scores_many(crops, masks, mesh=mesh)
+    scores = split_scores_many(crops, masks, mesh=mesh, sources=sources, dbatch=dbatch)
     return [
         cfg.logistic_segments(scores[i][0], cfg.segment_window(crops[i].size))
         for i in range(len(crops))
@@ -320,6 +470,8 @@ def region_segments_many(
     compactness: float = 10.0,
     sigma: float = 1.0,
     mesh=None,
+    sources: list | None = None,
+    dbatch: DeviceBatch | None = None,
 ) -> list:
     """Batched SLIC at <= 500 px working resolution, labels upsampled back
     (enhanced_slic_with_texture, slic.py:41-104).
@@ -331,9 +483,12 @@ def region_segments_many(
     Returns a list of (bh_i, bw_i) int32 label maps, 0 outside mask.
     """
     n = len(crops)
+    if sources is None:
+        sources = [None] * n
     work_imgs: list = [None] * n
     work_masks: list = [None] * n
     work_n: list = [0] * n
+    work_src: list = [None] * n
     scaled = [False] * n
     out: list = [None] * n
     run_ids = []
@@ -351,9 +506,13 @@ def region_segments_many(
             work_n[i] = max(1, math.ceil(n_segments[i] * scale * scale))
             scaled[i] = True
         else:
+            # Unscaled rows can gather their crop in-graph from the
+            # device-resident batch (PIL-resized rows cannot — the resized
+            # pixels only exist on host).
             work_imgs[i] = crops[i]
             work_masks[i] = masks[i]
             work_n[i] = n_segments[i]
+            work_src[i] = sources[i]
         run_ids.append(i)
 
     with stage_timer("seg.slic"):
@@ -364,6 +523,8 @@ def region_segments_many(
             compactness=compactness,
             sigma=sigma,
             mesh=mesh,
+            sources=[work_src[i] for i in run_ids],
+            dbatch=dbatch,
         )
     for pos, i in enumerate(run_ids):
         lab = labels_small[pos]

@@ -140,6 +140,39 @@ def _slic_core(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("ph", "pw", "n_centers", "iters", "compactness", "sigma", "chunk"),
+)
+def _slic_core_batch_gather(
+    img_pad, reg_a, reg_b, rows, centers_yx, center_valid, step,
+    *, ph, pw, n_centers, iters, compactness, sigma, chunk,
+):
+    """Bucketed SLIC with in-graph crop gathering from the device-resident
+    padded batch (models/segment.DeviceBatch).  rows: (bsz, 7) int32
+    [img, top, left, h0, w0, rid, kind]; layout matches the host packing
+    (region pixels at the window origin, zeros beyond the bbox)."""
+    ri = jnp.arange(ph)[:, None]
+    ci = jnp.arange(pw)[None, :]
+
+    def one(r, cyx, cv, st):
+        crop = jax.lax.dynamic_slice(
+            img_pad, (r[0], r[1], r[2], 0), (1, ph, pw, 3)
+        )[0]
+        ra = jax.lax.dynamic_slice(reg_a, (r[0], r[1], r[2]), (1, ph, pw))[0]
+        rb = jax.lax.dynamic_slice(reg_b, (r[0], r[1], r[2]), (1, ph, pw))[0]
+        inb = (ri < r[3]) & (ci < r[4])
+        rgb = jnp.where(inb[..., None], crop, 0)
+        mask = jnp.where(r[6] == 1, rb == r[5], ra == r[5]) & inb
+        return _slic_core(
+            rgb, mask, cyx, cv, st,
+            n_centers=n_centers, iters=iters, compactness=compactness,
+            sigma=sigma, chunk=chunk,
+        )
+
+    return jax.vmap(one)(rows, centers_yx, center_valid, step)
+
+
+@functools.partial(
     jax.jit, static_argnames=("n_centers", "iters", "compactness", "sigma", "chunk")
 )
 def _slic_core_batch(
@@ -270,6 +303,8 @@ def slic_many(
     enforce_connectivity: bool = True,
     min_size_factor: float = 0.5,
     mesh=None,
+    sources: list | None = None,
+    dbatch=None,
 ) -> list:
     """Batched masked SLIC over many regions.
 
@@ -283,6 +318,8 @@ def slic_many(
     """
     n = len(images)
     out: list = [None] * n
+    if sources is None:
+        sources = [None] * n
 
     # Orientation canonicalization: landscape regions are transposed to
     # portrait before bucketing (EXACT — the 5-D distance, Lloyd updates,
@@ -296,10 +333,12 @@ def slic_many(
     for i in range(n):
         mask = np.asarray(masks[i], bool)
         img = images[i]
+        src = sources[i] if dbatch is not None else None
         transposed = mask.shape[1] > mask.shape[0]
         if transposed:
             mask = mask.T
-            img = np.ascontiguousarray(np.transpose(img, (1, 0, 2)))
+            if src is None:
+                img = np.ascontiguousarray(np.transpose(img, (1, 0, 2)))
         h0, w0 = mask.shape
         area = int(mask.sum())
         if area == 0:
@@ -308,12 +347,15 @@ def slic_many(
         centers_yx, step = _prepare_centers(mask, n_segments[i])
         if len(centers_yx) > k_max:
             raise ValueError(f"SLIC center count {len(centers_yx)} exceeds {k_max}")
-        metas[i] = (mask, img, centers_yx, step, area, transposed)
+        metas[i] = (mask, img, centers_yx, step, area, transposed, src)
         # Sub-bucket by center count: most regions need <= 64 centers (the
         # logistic window law), and the dense assignment's cost is linear in
         # the padded center count — a 4x saving over always padding to 256.
         k_cap = 64 if len(centers_yx) <= 64 else k_max
-        key = (_pad_dim(h0), _pad_dim(w0), k_cap)
+        # In-graph-gather rows dispatch separately per orientation (the
+        # transposed batch is a different static source array).
+        key = (_pad_dim(h0), _pad_dim(w0), k_cap,
+               transposed if src is not None else None)
         buckets.setdefault(key, []).append(i)
 
     # Dispatch every bucket's core call first (JAX dispatch is async), then
@@ -321,35 +363,60 @@ def slic_many(
     # overlaps across buckets instead of serializing.
     pending = []
     with stage_timer("slic.core"):
-        for (ph, pw, k_cap), ids in buckets.items():
+        for (ph, pw, k_cap, tflag), ids in buckets.items():
             bsz = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
-            imgs_b = np.zeros((bsz, ph, pw, 3), np.uint8)
             masks_b = np.zeros((bsz, ph, pw), bool)
             cyx_b = np.zeros((bsz, k_cap, 2), np.int32)
             cval_b = np.zeros((bsz, k_cap), bool)
             steps_b = np.ones(bsz, np.float32)
+            gather = tflag is not None
+            imgs_b = None if gather else np.zeros((bsz, ph, pw, 3), np.uint8)
+            rows_b = np.zeros((bsz, 7), np.int32) if gather else None
             for row, i in enumerate(ids):
-                mask, img, centers_yx, step, _, _ = metas[i]
+                mask, img, centers_yx, step, _, transposed, src = metas[i]
                 h0, w0 = mask.shape
-                imgs_b[row, :h0, :w0] = img
                 masks_b[row, :h0, :w0] = mask
+                if gather:
+                    k0, top, left, sh, sw, rid, kind = src
+                    if transposed:
+                        top, left, sh, sw = left, top, sw, sh
+                    rows_b[row] = (k0, top, left, sh, sw, rid, kind)
+                else:
+                    imgs_b[row, :h0, :w0] = img
                 k = len(centers_yx)
                 cyx_b[row, :k] = centers_yx
                 cval_b[row, :k] = True
                 steps_b[row] = step
 
-            result = _slic_core_batch(
-                SHARD.shard_rows(imgs_b, mesh),
-                SHARD.shard_rows(masks_b, mesh),
-                SHARD.shard_rows(cyx_b, mesh),
-                SHARD.shard_rows(cval_b, mesh),
-                SHARD.shard_rows(steps_b, mesh),
+            common = dict(
                 n_centers=k_cap,
                 iters=iters,
                 compactness=float(compactness),
                 sigma=float(sigma),
                 chunk=min(16384, ph * pw),
             )
+            if gather:
+                src_img, src_a, src_b = (
+                    dbatch.transposed() if tflag
+                    else (dbatch.img, dbatch.reg_a, dbatch.reg_b)
+                )
+                result = _slic_core_batch_gather(
+                    src_img, src_a, src_b,
+                    SHARD.shard_rows(rows_b, mesh),
+                    SHARD.shard_rows(cyx_b, mesh),
+                    SHARD.shard_rows(cval_b, mesh),
+                    SHARD.shard_rows(steps_b, mesh),
+                    ph=ph, pw=pw, **common,
+                )
+            else:
+                result = _slic_core_batch(
+                    SHARD.shard_rows(imgs_b, mesh),
+                    SHARD.shard_rows(masks_b, mesh),
+                    SHARD.shard_rows(cyx_b, mesh),
+                    SHARD.shard_rows(cval_b, mesh),
+                    SHARD.shard_rows(steps_b, mesh),
+                    **common,
+                )
             pending.append((ids, masks_b, result))
 
     with stage_timer("slic.core"):
@@ -364,7 +431,7 @@ def slic_many(
             labels_rows = [assign_b[row] for row in range(len(ids))]
 
         for row, i in enumerate(ids):
-            mask, _, centers_yx, _, _, transposed = metas[i]
+            mask, _, centers_yx, _, _, transposed, _ = metas[i]
             h0, w0 = mask.shape
             if len(centers_yx) > 1 or not enforce_connectivity:
                 lab = labels_rows[row][:h0, :w0]
@@ -394,7 +461,7 @@ def _enforce_connectivity_bucket(assign_b, masks_b, ids, metas, min_size_factor,
 
         def one(row):
             i = ids[row]
-            mask, _, centers_yx, _, area, _ = metas[i]
+            mask, _, centers_yx, _, area, _, _ = metas[i]
             min_size = max(1, int(min_size_factor * area / len(centers_yx)))
             return native.slic_enforce(assign_b[row], masks_b[row], min_size)
 
@@ -410,7 +477,7 @@ def _enforce_connectivity_bucket(assign_b, masks_b, ids, metas, min_size_factor,
     compact_b = np.zeros(assign_b.shape, np.int32)
     keep_b = np.zeros(assign_b.shape, bool)
     for row, i in enumerate(ids):
-        mask, _, centers_yx, _, area, _ = metas[i]
+        mask, _, centers_yx, _, area, _, _ = metas[i]
         h0, w0 = mask.shape
         min_size = max(1, int(min_size_factor * area / len(centers_yx)))
         fg = np.zeros(masks_b.shape[1:], bool)
