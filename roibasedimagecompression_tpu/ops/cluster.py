@@ -202,13 +202,30 @@ def kmeans(
 
     def lloyd(_, centers):
         labels = assign(centers)
-        labels_v = jnp.where(valid, labels, k_max)  # pad bucket
-        sums = jax.ops.segment_sum(
-            jnp.where(valid[:, None], points, 0.0), labels_v, num_segments=k_max + 1
-        )[:k_max]
-        counts = jax.ops.segment_sum(
-            valid.astype(jnp.float32), labels_v, num_segments=k_max + 1
-        )[:k_max]
+        # Center update via chunked one-hot MXU contractions — TPU
+        # scatter-adds (segment_sum) dominate the iteration otherwise
+        # (measured ~25 ms/iter vs sub-ms at the SLIC bucket shapes; same
+        # structure here).
+        kids = jnp.arange(k_max)[None, :]
+
+        def upd_chunk(carry, start):
+            sums, counts = carry
+            rows = jax.lax.dynamic_slice_in_dim(points, start, chunk)
+            ids = jax.lax.dynamic_slice_in_dim(labels, start, chunk)
+            v = jax.lax.dynamic_slice_in_dim(valid, start, chunk)
+            oh = ((ids[:, None] == kids) & v[:, None]).astype(jnp.float32)
+            sums = sums + jax.lax.dot_general(
+                oh, rows,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return (sums, counts + oh.sum(axis=0)), None
+
+        init = (
+            jnp.zeros((k_max, d), jnp.float32),
+            jnp.zeros((k_max,), jnp.float32),
+        )
+        (sums, counts), _ = jax.lax.scan(upd_chunk, init, jnp.arange(0, m, chunk))
         new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
         # Empty clusters keep their previous center.
         return jnp.where(counts[:, None] > 0, new_centers, centers)

@@ -11,11 +11,14 @@ import jax.numpy as jnp
 
 
 def hist256(gray_u8: jnp.ndarray) -> jnp.ndarray:
-    """256-bin histogram of a uint8 image."""
+    """256-bin histogram of a uint8 image.
+
+    One-hot reduction instead of scatter-add: TPU scatters serialize (the
+    SLIC/k-means center updates measured ~25 ms per scatter at comparable
+    sizes), while XLA fuses the comparison into the row reduction."""
     flat = gray_u8.reshape(-1).astype(jnp.int32)
-    return jax.ops.segment_sum(
-        jnp.ones_like(flat, jnp.float32), flat, num_segments=256
-    )
+    oh = flat[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :]
+    return jnp.sum(oh.astype(jnp.float32), axis=0)
 
 
 def otsu_threshold(gray_u8: jnp.ndarray) -> jnp.ndarray:

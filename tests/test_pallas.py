@@ -62,3 +62,44 @@ def test_pallas_via_host_wrapper_env(rng, monkeypatch):
     monkeypatch.setenv("RHCCQ_USE_PALLAS", "0")
     b = C.eps_components_host(pts, 51.2)
     np.testing.assert_array_equal(a, b)
+
+
+def test_slic_assign_pallas_matches_xla(rng):
+    """The fused assign kernel must agree with the chunked XLA formulation
+    (up to d2 rounding ties: the kernel computes (f-c)^2 exactly, XLA uses
+    the f^2+c^2-2fc expansion)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from roibasedimagecompression_tpu.ops.pallas import slic_assign as PS
+
+    mp, k = 4096, 64
+    feats = rng.random((mp, 5)).astype(np.float32) * 100.0
+    centers = rng.random((k, 5)).astype(np.float32) * 100.0
+    got = np.asarray(
+        PS.slic_assign_pallas(jnp.asarray(feats), jnp.asarray(centers), interpret=True)
+    )
+    d2 = ((feats[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    want = d2.argmin(1)
+    agree = (got == want).mean()
+    assert agree > 0.999, agree
+    # Where they differ it must be a tie (equal distances).
+    diff = got != want
+    if diff.any():
+        np.testing.assert_allclose(
+            d2[np.arange(mp)[diff], got[diff]], d2[diff].min(1), rtol=1e-6
+        )
+
+
+def test_slic_assign_pallas_invalid_sentinel(rng):
+    """1e6-sentinel centers must never win an assignment."""
+    import jax.numpy as jnp
+    import numpy as np
+    from roibasedimagecompression_tpu.ops.pallas import slic_assign as PS
+
+    feats = rng.random((2048, 5)).astype(np.float32)
+    centers = np.full((8, 5), 1e6, np.float32)
+    centers[:3] = rng.random((3, 5)).astype(np.float32)
+    got = np.asarray(
+        PS.slic_assign_pallas(jnp.asarray(feats), jnp.asarray(centers), interpret=True)
+    )
+    assert got.max() < 3
