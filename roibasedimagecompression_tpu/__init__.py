@@ -14,6 +14,25 @@ Public API:
 import os as _os
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the CPU feature set (ISA flags, not core count)."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+            else:
+                feats = "none"
+    except OSError:
+        import platform
+
+        feats = platform.processor() or platform.machine()
+    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+
+
 def _enable_compilation_cache() -> None:
     """Persist XLA executables across processes (opt out: RHCCQ_JAX_CACHE=0).
 
@@ -31,6 +50,15 @@ def _enable_compilation_cache() -> None:
             target = _os.path.join(repo, ".jax_cache")
         else:
             target = _os.path.join(_os.path.expanduser("~"), ".cache", "rhccq_jax")
+    # CPU entries are AOT executables that embed the compiling host's CPU
+    # features — loading one written by a different host SIGILLs (observed
+    # via the repo-shared cache dir: "Target machine feature
+    # +prefer-no-gather is not supported", cpu_aot_loader).  Key the CPU
+    # cache by a host fingerprint so each machine reuses only its own
+    # entries; TPU entries stay in the shared base dir (compiled remotely,
+    # host-independent).
+    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+        target = _os.path.join(target, f"cpu-{_host_fingerprint()}")
     try:
         import jax
 

@@ -308,6 +308,145 @@ def tiers23_colors_many(t1_list: list, group_map_list: list, config: cfg.CodecCo
     return t2_list, t3_list
 
 
+def tiers23_palette_indices(
+    table: dict,
+    seg_group: np.ndarray,
+    image_of_seg: np.ndarray,
+    n_images: int,
+    shape: tuple,
+    config: cfg.CodecConfig,
+    mesh=None,
+) -> list:
+    """Tiers 2/3 + final palette, composed on the tier-1 CLUSTER table.
+
+    The canvas-merge pipeline (reference encoder/compression/merging.py +
+    clustering.py re-reading every merged canvas) collapses algebraically:
+    each tier-1 cluster paints one uint8 color, so the tier-2 problem's
+    palette is exactly the unique (problem, color) set over cluster colors,
+    tier-3's the unique (image, tier-2 color) set, and the final palette the
+    unique tier-3 colors — all tables of cluster-count length (thousands),
+    never pixel-count length.  Pixels are touched exactly once here: the
+    final palette-index paint.
+
+    Args:
+      table: tier1_table output for the TALL stacked image (images
+        concatenated along rows).
+      seg_group: (n_seg_total+1,) int group id per global segment (1=roi,
+        2=nonroi).
+      image_of_seg: (n_seg_total+1,) int image index per global segment.
+      n_images: number of images in the stack.
+      shape: (h, w) of one image.
+    Returns:
+      list of (palette (m, 3) uint8, indices (h, w) minimal unsigned dtype)
+      per image — identical to unique_colors over the tier-3 canvas of the
+      per-pixel path.
+    """
+    from roibasedimagecompression_tpu.io import container as C
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+
+    h, w = shape
+    b = n_images
+    cop = table["cluster_of_pair"]
+    cluster_colors = table["cluster_colors"]
+    n_clusters = len(cluster_colors)
+
+    with stage_timer("t23.compose"):
+        # Per-cluster attributes (a tier-1 cluster never spans segments).
+        seg_of_cluster = np.zeros(n_clusters, np.int64)
+        seg_of_cluster[cop] = table["seg_of_pair"]
+        w_cluster = np.bincount(
+            cop, weights=table["pair_weights"], minlength=n_clusters
+        )
+        img_of_cluster = image_of_seg[seg_of_cluster].astype(np.int64)
+        grp_of_cluster = seg_group[seg_of_cluster].astype(np.int64)
+        packed1 = (
+            (cluster_colors[:, 0].astype(np.int64) << 16)
+            | (cluster_colors[:, 1].astype(np.int64) << 8)
+            | cluster_colors[:, 2].astype(np.int64)
+        )
+
+        # ---- tier 2: one problem per (image, group) ------------------------
+        prob2 = img_of_cluster * 2 + (grp_of_cluster - 1)
+        uniq2, inv2 = QB._unique_inverse(prob2 << 24 | packed1)
+        w2 = np.bincount(inv2, weights=w_cluster)
+        qual2 = [
+            config.roi_tier2_quality if p % 2 == 0 else config.nonroi_tier2_quality
+            for p in range(2 * b)
+        ]
+    out2 = QB.cluster_pair_table(
+        uniq2, w2 if config.weighted_palette else None, qual2,
+        seed=config.seed, mesh=mesh,
+    )
+    with stage_timer("t23.compose"):
+        c2_packed = (
+            (out2[:, 0].astype(np.int64) << 16)
+            | (out2[:, 1].astype(np.int64) << 8)
+            | out2[:, 2].astype(np.int64)
+        )[inv2]
+
+        # ---- tier 3: one problem per image ---------------------------------
+        uniq3, inv3 = QB._unique_inverse(img_of_cluster << 24 | c2_packed)
+        w3 = np.bincount(inv3, weights=w_cluster)
+    out3 = QB.cluster_pair_table(
+        uniq3, w3 if config.weighted_palette else None,
+        [config.image_quality] * b, seed=config.seed, mesh=mesh,
+    )
+    with stage_timer("t23.compose"):
+        c3_packed = (
+            (out3[:, 0].astype(np.int64) << 16)
+            | (out3[:, 1].astype(np.int64) << 8)
+            | out3[:, 2].astype(np.int64)
+        )[inv3]
+
+        # ---- final palette per image (unique_colors semantics) -------------
+        uniq4, inv4 = QB._unique_inverse(img_of_cluster << 24 | c3_packed)
+        img4 = (uniq4 >> 24).astype(np.int64)
+        col4 = uniq4 & 0xFFFFFF
+        starts4 = np.searchsorted(img4, np.arange(b + 1))
+        # Background black: pixels outside every segment stay black, joining
+        # the palette exactly when the image has any (or a tier-3 color is
+        # already black).
+        mask = table["mask"]
+        bg_counts = (h * w) - mask.reshape(b, h * w).sum(axis=1)
+        sizes4 = np.diff(starts4)
+        first_is_black = np.zeros(b, bool)
+        nonempty = sizes4 > 0
+        first_is_black[nonempty] = col4[starts4[:-1][nonempty]] == 0
+        add_black = (bg_counts > 0) & ~first_is_black
+        # Final index of each cluster: rank within its image's palette.
+        idx_of_cluster = (
+            inv4 - starts4[:-1][img_of_cluster] + add_black[img_of_cluster]
+        ).astype(np.int64)
+
+        results = []
+        for i in range(b):
+            pal_packed = col4[starts4[i] : starts4[i + 1]]
+            if add_black[i]:
+                pal_packed = np.concatenate([[0], pal_packed])
+            palette = np.stack(
+                [
+                    (pal_packed >> 16) & 0xFF,
+                    (pal_packed >> 8) & 0xFF,
+                    pal_packed & 0xFF,
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            results.append(palette)
+
+        # ---- the ONE pixel pass: paint palette indices ---------------------
+        idx_of_pair = idx_of_cluster[cop]
+        tall_idx = np.zeros(b * h * w, np.int32)
+        tall_idx[np.flatnonzero(mask.ravel())] = idx_of_pair[table["inverse"]]
+        out = []
+        for i in range(b):
+            pal = results[i]
+            dt = C.min_index_dtype(max(len(pal) - 1, 0))
+            out.append(
+                (pal, tall_idx[i * h * w : (i + 1) * h * w].reshape(h, w).astype(dt))
+            )
+    return out
+
+
 def _coerce_rgb(image: np.ndarray) -> np.ndarray:
     """Accept (h, w), (h, w, 1), (h, w, 3) or (h, w, 4) uint8 input."""
     image = np.asarray(image, dtype=np.uint8)
@@ -359,17 +498,42 @@ def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
         )
 
     with stage_timer("tier1"):
-        t1 = QB.tier1_colors(
+        table = QB.tier1_table(
             image_rgb, seg_map, seg_quality, seed=config.seed,
             weighted=config.weighted_palette,
         )
 
+    import os as _os
+
     with stage_timer("tier23"):
-        group_map = seg_group[seg_map]
-        t2_list, t3_list = tiers23_colors_many([t1], [group_map], config)
-        t3 = t3_list[0]
-        palette, indices = U.unique_colors(t3.reshape(-1, 3))
-        indices = indices.reshape(h, w)
+        if (
+            config.fill_black_holes > 0
+            or table is None
+            or _os.environ.get("RHCCQ_CANVAS_TIERS") == "1"
+        ):
+            # Canvas path: hole filling edits the tier-2 canvas; an empty
+            # table means an all-background image.
+            t1 = np.zeros_like(image_rgb)
+            if table is not None:
+                from roibasedimagecompression_tpu import native as NATIVE
+
+                if not NATIVE.paint_masked_colors(
+                    table["cluster_colors"], table["cluster_of_pair"],
+                    table["inverse"], table["mask"], t1,
+                ):
+                    t1[table["mask"]] = table["cluster_colors"][
+                        table["cluster_of_pair"][table["inverse"]]
+                    ]
+            group_map = seg_group[seg_map]
+            t2_list, t3_list = tiers23_colors_many([t1], [group_map], config)
+            t3 = t3_list[0]
+            palette, indices = U.unique_colors(t3.reshape(-1, 3))
+            indices = indices.reshape(h, w)
+        else:
+            image_of_seg = np.zeros(len(seg_quality), np.int32)
+            ((palette, indices),) = tiers23_palette_indices(
+                table, seg_group, image_of_seg, 1, (h, w), config
+            )
 
     with stage_timer("container"):
         return C.pack(palette, indices, level=config.container_level)

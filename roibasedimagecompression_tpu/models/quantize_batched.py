@@ -139,27 +139,103 @@ def _black_repair_pairs(seg_of_pair, color_of_pair, inverse):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def _eps_components_batched(points, eps, valid, chunk):
-    labels = jax.vmap(
-        lambda p, e, v: CL.eps_components(p, e, v, None, chunk=chunk)
-    )(points, eps, valid)
-    # uint16 return (labels <= cap <= 9999; invalid rows get cap): the
-    # tunneled chip downloads at ~22 MB/s, so label bytes are wall-clock.
-    return labels.astype(jnp.uint16)
+
+@functools.partial(jax.jit, static_argnames=("cap", "chunk"))
+def _eps_components_gather(colors_dev, starts, sizes, eps, *, cap, chunk):
+    """Bucketed eps-CC with in-graph point gathering.
+
+    Each bucket row is a contiguous run [start, start+size) of the
+    device-resident colors table (the pair table is sorted by segment), so
+    the bucket upload shrinks from (B, cap, 3) f32 padded points to three
+    (B,) scalars per row — the split/epscc bucket uploads were ~18 MB per
+    level at ~80 MB/s tunnel bandwidth.
+    """
+    pos = jnp.arange(cap)
+
+    def one(s0, sz, e):
+        v = pos < sz
+        pts = jnp.where(
+            v[:, None], colors_dev[jnp.where(v, s0 + pos, 0)], 0.0
+        )
+        return CL.eps_components(pts, e, v, None, chunk=chunk)
+
+    return jax.vmap(one)(starts, sizes, eps).astype(jnp.uint16)
 
 
-@functools.partial(jax.jit, static_argnames=("k_max", "iters", "chunk", "plusplus"))
-def _kmeans_batched(points, valid, ks, k_max, iters, seed, chunk, plusplus):
-    def one(p, v, k):
+@functools.partial(
+    jax.jit, static_argnames=("cap", "k_max", "iters", "chunk", "plusplus")
+)
+def _kmeans_gather(
+    colors_dev, order_dev, starts, sizes, ks, *, cap, k_max, iters, seed, chunk,
+    plusplus,
+):
+    """Bucketed k-means over runs of the ORDER permutation (the per-level
+    argsort by cluster id): row points are colors[order[start+j]]."""
+    pos = jnp.arange(cap)
+
+    def one(s0, sz, k):
+        v = pos < sz
+        idx = order_dev[jnp.where(v, s0 + pos, 0)]
+        pts = jnp.where(v[:, None], colors_dev[idx], 0.0)
         labels, _ = CL.kmeans(
-            p, v, k, k_max=k_max, iters=iters, seed=seed, chunk=chunk,
+            pts, v, k, k_max=k_max, iters=iters, seed=seed, chunk=chunk,
             plusplus=plusplus,
         )
         return labels
 
-    # uint16: labels < k_max <= 65536 (see _eps_components_batched note).
-    return jax.vmap(one)(points, valid, ks).astype(jnp.uint16)
+    return jax.vmap(one)(starts, sizes, ks).astype(jnp.uint16)
+
+
+def _pow2(n: int, minimum: int = 1024) -> int:
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+def _colors_device(colors: np.ndarray, mesh=None):
+    """Pad the (n, 3) f32 colors table to a pow2 row bucket and upload once
+    (replicated across the mesh when sharding)."""
+    n = len(colors)
+    pad = _pow2(n)
+    buf = np.zeros((pad, 3), np.float32)
+    buf[:n] = colors
+    return _replicated(buf, mesh)
+
+
+def _order_device(order: np.ndarray, mesh=None):
+    """Pad the split-level permutation to the same pow2 grid as the colors
+    table — an unpadded operand compiles one _kmeans_gather graph per
+    distinct pair-table length (measured: a single 256x256 CPU encode spent
+    >10 min compiling because every split level hit a fresh shape)."""
+    n = len(order)
+    buf = np.zeros(_pow2(n), np.int32)
+    buf[:n] = order
+    return _replicated(buf, mesh)
+
+
+def _replicated(x: np.ndarray, mesh=None):
+    if mesh is None:
+        return jnp.asarray(x)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def _flat_run_positions(starts_b: np.ndarray, sizes_b: np.ndarray):
+    """(flat_pos, flat_row, flat_within) enumerating every real point of the
+    bucket's runs — the scatter-back side of the in-graph gather, built over
+    REAL points only (the old padded pair_idx gather materialized cap-padded
+    index tables)."""
+    sizes_b = sizes_b.astype(np.int64)
+    total = int(sizes_b.sum())
+    off = np.zeros(len(sizes_b), np.int64)
+    np.cumsum(sizes_b[:-1], out=off[1:])
+    flat_row = np.repeat(np.arange(len(sizes_b), dtype=np.int64), sizes_b)
+    within = np.arange(total, dtype=np.int64) - np.repeat(off, sizes_b)
+    flat_pos = np.repeat(starts_b.astype(np.int64), sizes_b) + within
+    return flat_pos, flat_row, within
+
 
 
 def _bucketize(sizes: np.ndarray, caps) -> dict:
@@ -196,27 +272,6 @@ def _pad_kmax(k: int) -> int:
     return p
 
 
-def _gather_bucket(ids, starts, sizes, colors_f32, cap, order=None, mesh=None):
-    """Pack per-problem color runs into a (B_pad, cap, 3) batch.
-
-    Fully vectorized: one fancy-index gather builds the whole batch (the
-    round-1 per-row Python loop was a tier-1 hot spot).  `order` optionally
-    maps run positions to pair indices (the split path gathers from an
-    argsort layout).  Returns (pts, valid, pair_idx) where pair_idx[row, j]
-    is the pair-table index behind pts[row, j] (0 where invalid).
-    """
-    b = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
-    n_rows = len(ids)
-    pos = starts[ids][:, None] + np.arange(cap)[None, :]
-    row_valid = np.arange(cap)[None, :] < sizes[ids][:, None]
-    pos = np.where(row_valid, pos, 0)
-    pair_idx = order[pos] if order is not None else pos
-    pts = np.zeros((b, cap, 3), np.float32)
-    valid = np.zeros((b, cap), bool)
-    pts[:n_rows] = np.where(row_valid[..., None], colors_f32[pair_idx], 0.0)
-    valid[:n_rows] = row_valid
-    return pts, valid, pair_idx
-
 
 def tier1_colors(
     image_rgb: np.ndarray,
@@ -236,12 +291,57 @@ def tier1_colors(
     Returns:
       (h, w, 3) uint8 tier-1 colors (black where seg_map == 0).
     """
+    table = tier1_table(
+        image_rgb, seg_map, seg_quality, seed=seed, weighted=weighted,
+        mesh=mesh,
+    )
+    out = np.zeros_like(image_rgb)
+    if table is None:
+        return out
+    from roibasedimagecompression_tpu import native
+
+    if not native.paint_masked_colors(
+        table["cluster_colors"], table["cluster_of_pair"], table["inverse"],
+        table["mask"], out,
+    ):
+        out[table["mask"]] = table["cluster_colors"][
+            table["cluster_of_pair"][table["inverse"]]
+        ]
+    return out
+
+
+def tier1_table(
+    image_rgb: np.ndarray,
+    seg_map: np.ndarray,
+    seg_quality: np.ndarray,
+    *,
+    seed: int = 42,
+    weighted: bool = True,
+    mesh=None,
+) -> dict | None:
+    """Tier-1 clustering as a pair/cluster TABLE (no canvas paint).
+
+    Returns None when no pixel has a segment; otherwise a dict:
+      seg_of_pair     (n_pairs,) int32   segment id per unique pair
+      cluster_of_pair (n_pairs,) int64   dense tier-1 cluster id per pair
+      cluster_colors  (n_clusters, 3) u8 truncated cluster means
+      inverse         (n_masked,) int64  pair row per masked pixel (row-major)
+      mask            (h, w) bool        seg_map > 0
+      pair_weights    (n_pairs,) f64     pixel multiplicity per pair
+
+    Tiers 2/3 + the final palette compose from this table without touching
+    pixels again (see codec.tiers23_palette_indices): each tier's palette is
+    exactly the unique (problem, color) set over the previous tier's cluster
+    colors, so the reference's canvas-merge/re-extract cycle
+    (encoder/compression/merging.py + clustering.py re-reading the merged
+    canvas) collapses to gathers on cluster ids.
+    """
     with stage_timer("t1.pairs"):
         seg_of_pair, color_of_pair, inverse, mask, pix_counts = _pairs(
             image_rgb, seg_map
         )
         if len(seg_of_pair) == 0:
-            return np.zeros_like(image_rgb)
+            return None
         pre_repair_counts = pix_counts
         seg_of_pair, color_of_pair, inverse, repair_remap = _black_repair_pairs(
             seg_of_pair, color_of_pair, inverse
@@ -272,25 +372,35 @@ def tier1_colors(
         big = np.flatnonzero(sizes >= cfg.KMEANS_SWITCH_COLORS)
         small_sizes = sizes.copy()
         small_sizes[big] = 0  # excluded from buckets
+        colors_dev = _colors_device(colors, mesh)
         # Dispatch all buckets, then collect (overlaps device round-trips).
         pending = []
         for cap, ids in _bucketize(small_sizes, list(_BUCKETS)).items():
-            pts, valid, pair_idx = _gather_bucket(ids, starts, sizes, colors, cap, mesh=mesh)
-            eps_b = np.ones(len(pts), np.float32)
+            b = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
+            starts_b = np.zeros(b, np.int32)
+            starts_b[: len(ids)] = starts[ids]
+            sizes_b = np.zeros(b, np.int32)
+            sizes_b[: len(ids)] = sizes[ids]
+            eps_b = np.ones(b, np.float32)
             eps_b[: len(ids)] = eps[ids]
-            result = _eps_components_batched(
-                SHARD.shard_rows(pts, mesh),
+            result = _eps_components_gather(
+                colors_dev,
+                SHARD.shard_rows(starts_b, mesh),
+                SHARD.shard_rows(sizes_b, mesh),
                 SHARD.shard_rows(eps_b, mesh),
-                SHARD.shard_rows(valid, mesh),
-                chunk=min(512, cap),
+                cap=cap, chunk=min(512, cap),
             )
-            pending.append((cap, ids, valid, pair_idx, result))
+            pending.append((cap, ids, starts[ids], sizes[ids], result))
         collected = SHARD.collect_all([p[4] for p in pending])
-        for (cap, ids, valid, pair_idx, _), labels in zip(pending, collected):
-            # Row-local min-index labels -> globally unique keys.
-            row_valid = valid[: len(ids)]
-            keys = key_base + np.arange(len(ids), dtype=np.int64)[:, None] * (cap + 1) + labels[: len(ids)]
-            cluster_keys[pair_idx[row_valid]] = keys[row_valid]
+        for (cap, ids, st_b, sz_b, _), labels in zip(pending, collected):
+            # Row-local min-index labels -> globally unique keys, scattered
+            # back over the runs' real points only.
+            flat_pos, flat_row, within = _flat_run_positions(st_b, sz_b)
+            cluster_keys[flat_pos] = (
+                key_base
+                + flat_row * (cap + 1)
+                + labels[flat_row, within].astype(np.int64)
+            )
             key_base += np.int64(len(ids)) * (cap + 1)
 
         if len(big):
@@ -324,20 +434,23 @@ def tier1_colors(
     # cluster color minimizes pixel-level MSE; weighted=False reproduces the
     # reference's unweighted palette-entry mean.
     with stage_timer("t1.means"):
-        if weighted:
-            if pre_repair_counts is not None:
-                # Per-pair pixel counts fell out of the native dedup; the
-                # black repair folds repaired pairs' counts into their
-                # targets through the remap.
-                w = np.bincount(
-                    repair_remap,
-                    weights=pre_repair_counts.astype(np.float64),
-                    minlength=len(seg_of_pair),
-                )
-            else:
-                w = np.bincount(inverse, minlength=len(seg_of_pair)).astype(np.float64)
+        if pre_repair_counts is not None:
+            # Per-pair pixel counts fell out of the native dedup; the
+            # black repair folds repaired pairs' counts into their
+            # targets through the remap.
+            pair_weights = np.bincount(
+                repair_remap,
+                weights=pre_repair_counts.astype(np.float64),
+                minlength=len(seg_of_pair),
+            )
         else:
-            w = np.ones(len(seg_of_pair), np.float64)
+            pair_weights = np.bincount(
+                inverse, minlength=len(seg_of_pair)
+            ).astype(np.float64)
+        # weighted=True weights each palette color by its pixel count so the
+        # cluster color minimizes pixel-level MSE; weighted=False reproduces
+        # the reference's unweighted palette-entry mean.
+        w = pair_weights if weighted else np.ones(len(seg_of_pair), np.float64)
         counts = np.bincount(cluster_of_pair, weights=w, minlength=next_cluster)
         means = np.zeros((next_cluster, 3), np.float64)
         for c in range(3):
@@ -346,15 +459,14 @@ def tier1_colors(
             )
         means /= np.maximum(counts, 1.0)[:, None]
         cluster_colors = means.astype(np.uint8)
-
-        out = np.zeros_like(image_rgb)
-        from roibasedimagecompression_tpu import native
-
-        if not native.paint_masked_colors(
-            cluster_colors, cluster_of_pair, inverse, mask, out
-        ):
-            out[mask] = cluster_colors[cluster_of_pair[inverse]]
-    return out
+    return {
+        "seg_of_pair": seg_of_pair,
+        "cluster_of_pair": cluster_of_pair,
+        "cluster_colors": cluster_colors,
+        "inverse": inverse,
+        "mask": mask,
+        "pair_weights": pair_weights,
+    }
 
 
 def cluster_color_maps_many(
@@ -425,6 +537,58 @@ def cluster_color_maps_many(
                 return out_list
             return [np.zeros((0, 3), np.uint8) for _ in range(n_prob)]
         uniq, inverse, pair_pixel_counts = _unique_inverse(keys, return_counts=True)
+
+    pair_colors = cluster_pair_table(
+        uniq, pair_pixel_counts if weighted else None, quality_list,
+        seed=seed, mesh=mesh,
+    )
+
+    if out_list is not None:
+        # Paint straight into the caller's canvases (sel pixels only) — the
+        # pooled gather + per-problem boolean scatter was a dominant host
+        # cost at large image sizes.
+        off = 0
+        for i in range(n_prob):
+            cnt = pixel_counts[i]
+            inv_slice = inverse[off : off + cnt]
+            if not native.paint_masked_colors(
+                pair_colors, None, inv_slice, sel_list[i], out_list[i]
+            ):
+                out_list[i][sel_list[i]] = pair_colors[inv_slice]
+            off += cnt
+        return out_list
+
+    mapped = pair_colors[inverse]
+    out = []
+    off = 0
+    for i in range(n_prob):
+        out.append(mapped[off : off + pixel_counts[i]])
+        off += pixel_counts[i]
+    return out
+
+
+def cluster_pair_table(
+    uniq: np.ndarray,
+    weights: np.ndarray | None,
+    quality_list,
+    *,
+    seed: int = 42,
+    mesh=None,
+) -> np.ndarray:
+    """Cluster a pooled, already-deduped (problem, color) pair table.
+
+    `uniq` is the sorted int64 key table `prob << 24 | packed_rgb` (unique
+    rows); `weights` the per-pair pixel multiplicities (None = unweighted);
+    `quality_list` maps problem id -> quality.  Black pairs are pinned
+    (never clustered, counted by the n-colors law — reference
+    encoder/compression/clustering.py:188-199, merging.py:42-44).  Returns
+    the (n_pairs, 3) uint8 output color of every pair.
+
+    This is the tier-2/3 clustering core: callers build the table either
+    from pixels (cluster_color_maps_many) or by composing the previous
+    tier's cluster table (tiers 2/3 palettes are exactly the unique
+    (problem, color) sets of the tier-1 cluster colors — no pixel pass).
+    """
     prob_of_pair = (uniq >> 24).astype(np.int32)
     color_of_pair = (uniq & 0xFFFFFF).astype(np.int32)
     colors = _unpack(color_of_pair).astype(np.float32)
@@ -435,7 +599,6 @@ def cluster_color_maps_many(
     # Laws (clustering_params): n counts black even when absent from the
     # pixels (the canvas background black joins the merged palette,
     # merging.py:42-44 — codec._cluster_color_map prepends it).
-    has_black = np.zeros(len(prob_ids), bool)
     first_key = color_of_pair[starts]
     has_black = first_key == 0  # sorted runs: black (0) is first if present
     n_black_incl = sizes + (~has_black)
@@ -459,30 +622,33 @@ def cluster_color_maps_many(
         big = np.flatnonzero(nb_sizes >= cfg.KMEANS_SWITCH_COLORS)
         small_sizes = nb_sizes.copy()
         small_sizes[big] = 0
+        colors_dev = _colors_device(colors, mesh)
         # Dispatch all buckets, then collect (overlaps device round-trips).
         pending = []
         for cap, ids in _bucketize(small_sizes, list(_BUCKETS)).items():
-            pts, valid, pair_idx = _gather_bucket(
-                ids, nb_starts, nb_sizes, colors, cap, mesh=mesh
-            )
-            eps_b = np.ones(len(pts), np.float32)
+            b = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
+            starts_b = np.zeros(b, np.int32)
+            starts_b[: len(ids)] = nb_starts[ids]
+            sizes_b = np.zeros(b, np.int32)
+            sizes_b[: len(ids)] = nb_sizes[ids]
+            eps_b = np.ones(b, np.float32)
             eps_b[: len(ids)] = eps[ids]
-            result = _eps_components_batched(
-                SHARD.shard_rows(pts, mesh),
+            result = _eps_components_gather(
+                colors_dev,
+                SHARD.shard_rows(starts_b, mesh),
+                SHARD.shard_rows(sizes_b, mesh),
                 SHARD.shard_rows(eps_b, mesh),
-                SHARD.shard_rows(valid, mesh),
-                chunk=min(512, cap),
+                cap=cap, chunk=min(512, cap),
             )
-            pending.append((cap, ids, valid, pair_idx, result))
+            pending.append((cap, ids, nb_starts[ids], nb_sizes[ids], result))
         collected = SHARD.collect_all([p[4] for p in pending])
-        for (cap, ids, valid, pair_idx, _), labels in zip(pending, collected):
-            row_valid = valid[: len(ids)]
-            new_keys = (
+        for (cap, ids, st_b, sz_b, _), labels in zip(pending, collected):
+            flat_pos, flat_row, within = _flat_run_positions(st_b, sz_b)
+            cluster_keys[flat_pos] = (
                 key_base
-                + np.arange(len(ids), dtype=np.int64)[:, None] * (cap + 1)
-                + labels[: len(ids)]
+                + flat_row * (cap + 1)
+                + labels[flat_row, within].astype(np.int64)
             )
-            cluster_keys[pair_idx[row_valid]] = new_keys[row_valid]
             key_base += np.int64(len(ids)) * (cap + 1)
 
         if len(big):
@@ -516,13 +682,10 @@ def cluster_color_maps_many(
         )
 
     # ---- cluster mean colors (truncated uint8, clustering.py:305,347) ------
-    if weighted:
-        # Per-pair pixel multiplicities fall out of the radix dedup — no
-        # repair/remap happens on this path (black pairs are pinned), so
-        # they ARE the weights.
-        w = pair_pixel_counts.astype(np.float64)
-    else:
-        w = np.ones(n_pairs, np.float64)
+    # Per-pair pixel multiplicities fall out of the radix dedup — no
+    # repair/remap happens on this path (black pairs are pinned), so they
+    # ARE the weights.
+    w = weights.astype(np.float64) if weights is not None else np.ones(n_pairs)
     counts = np.bincount(cluster_of_pair, weights=w, minlength=next_cluster)
     means = np.zeros((next_cluster, 3), np.float64)
     for c in range(3):
@@ -534,31 +697,7 @@ def cluster_color_maps_many(
     # Pinned black stays exactly black regardless of weighting.
     pair_colors = cluster_colors[cluster_of_pair]
     pair_colors[black_rows] = 0
-
-    if out_list is not None:
-        # Paint straight into the caller's canvases (sel pixels only) — the
-        # pooled gather + per-problem boolean scatter was a dominant host
-        # cost at large image sizes.
-        from roibasedimagecompression_tpu import native
-
-        off = 0
-        for i in range(n_prob):
-            cnt = pixel_counts[i]
-            inv_slice = inverse[off : off + cnt]
-            if not native.paint_masked_colors(
-                pair_colors, None, inv_slice, sel_list[i], out_list[i]
-            ):
-                out_list[i][sel_list[i]] = pair_colors[inv_slice]
-            off += cnt
-        return out_list
-
-    mapped = pair_colors[inverse]
-    out = []
-    off = 0
-    for i in range(n_prob):
-        out.append(mapped[off : off + pixel_counts[i]])
-        off += pixel_counts[i]
-    return out
+    return pair_colors
 
 
 def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_cluster, seed, mesh=None):
@@ -622,24 +761,30 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
         trace = _os.environ.get("RHCCQ_TRACE", "") not in ("", "0")
         pending = []
         with stage_timer("split.kmeans"):
+            colors_dev = _colors_device(colors, mesh)
+            order_dev = _order_device(order.astype(np.int32), mesh)
             for cap, rows in _bucketize(sizes[oversized], caps).items():
                 ids = oversized[rows]
+                k_max = _pad_kmax(int(ks[rows].max()))
                 if trace:
                     print(
                         f"[rhccq] split level={_level} cap={cap} rows={len(ids)} "
-                        f"k_max={_pad_kmax(int(ks[rows].max()))}",
+                        f"k_max={k_max}",
                         flush=True,
                     )
-                pts, valid, pair_idx = _gather_bucket(
-                    ids, starts, sizes, colors, cap, order=order, mesh=mesh
-                )
-                k_max = _pad_kmax(int(ks[rows].max()))
-                ks_b = np.ones(len(pts), np.int32)
+                b = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
+                starts_b = np.zeros(b, np.int32)
+                starts_b[: len(ids)] = starts[ids]
+                sizes_b = np.zeros(b, np.int32)
+                sizes_b[: len(ids)] = sizes[ids]
+                ks_b = np.ones(b, np.int32)
                 ks_b[: len(ids)] = ks[rows]
-                result = _kmeans_batched(
-                    SHARD.shard_rows(pts, mesh),
-                    SHARD.shard_rows(valid, mesh),
+                result = _kmeans_gather(
+                    colors_dev, order_dev,
+                    SHARD.shard_rows(starts_b, mesh),
+                    SHARD.shard_rows(sizes_b, mesh),
                     SHARD.shard_rows(ks_b, mesh),
+                    cap=cap,
                     k_max=int(k_max),
                     # Oversized-split problems are small and near-separable
                     # (a cluster marginally above its size cap): Lloyd is
@@ -651,17 +796,16 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
                     chunk=min(2048, cap),
                     plusplus=k_max <= 256,
                 )
-                pending.append((ids, valid, pair_idx, k_max, result))
+                pending.append((ids, starts[ids], sizes[ids], k_max, result))
         with stage_timer("split.kmeans"):
             collected = SHARD.collect_all([p[4] for p in pending])
-        for (ids, valid, pair_idx, k_max, _), labels in zip(pending, collected):
-            row_valid = valid[: len(ids)]
-            keys = (
+        for (ids, st_b, sz_b, k_max, _), labels in zip(pending, collected):
+            flat_pos, flat_row, within = _flat_run_positions(st_b, sz_b)
+            cluster_of_pair[order[flat_pos]] = (
                 key_base
-                + np.arange(len(ids), dtype=np.int64)[:, None] * (k_max + 1)
-                + labels[: len(ids)]
+                + flat_row * (k_max + 1)
+                + labels[flat_row, within].astype(np.int64)
             )
-            cluster_of_pair[pair_idx[row_valid]] = keys[row_valid]
             key_base += np.int64(len(ids)) * (k_max + 1)
         _, cluster_of_pair = _unique_inverse(cluster_of_pair)
         next_cluster = int(cluster_of_pair.max()) + 1

@@ -48,11 +48,18 @@ def _build() -> bool:
 
 
 def get_lib():
-    """The loaded shared library, or None when unavailable."""
+    """The loaded shared library, or None when unavailable.
+
+    RHCCQ_NATIVE=0 disables it (every entry point has a NumPy/device
+    fallback) — used to isolate host-runtime issues.
+    """
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
+        if os.environ.get("RHCCQ_NATIVE") == "0":
+            _tried = True
+            return None
         _tried = True
         if not os.path.exists(_LIB_PATH) or os.path.getmtime(
             _LIB_PATH

@@ -158,27 +158,83 @@ def encode_many(
     seg_maps = []
     qualities = [np.zeros(1)]
     groups_list = [np.zeros(1, np.int32)]
+    images_list = [np.zeros(1, np.int32)]
     next_id = 0
-    for seg_map, seg_q, seg_g in seg_results:
+    for k, (seg_map, seg_q, seg_g) in enumerate(seg_results):
         shifted = np.where(seg_map > 0, seg_map + next_id, 0)
         seg_maps.append(shifted)
         qualities.append(seg_q[1:])
         groups_list.append(seg_g[1:])
+        images_list.append(np.full(len(seg_q) - 1, k, np.int32))
         next_id += len(seg_q) - 1
 
     tall_img = batch.reshape(b * h, w, 3)
     tall_seg = np.concatenate(seg_maps, axis=0)
     seg_quality = np.concatenate(qualities)
     seg_group = np.concatenate(groups_list)
+    image_of_seg = np.concatenate(images_list)
 
-    # 3. ONE tier-1 pass across every segment of every image.
+    # 3. ONE tier-1 pass across every segment of every image — as a cluster
+    #    TABLE (no canvas paint).
     with stage_timer("s.tier1"):
-        t1_tall = QB.tier1_colors(
+        table = QB.tier1_table(
             tall_img, tall_seg, seg_quality, seed=config.seed,
             weighted=config.weighted_palette, mesh=mesh,
         )
 
-    # 4. Tiers 2/3 for ALL images in two batched clustering calls.
+    import os as _os
+
+    if config.fill_black_holes > 0 or _os.environ.get("RHCCQ_CANVAS_TIERS") == "1":
+        # Hole filling operates on the tier-2 canvas — per-pixel path.
+        # RHCCQ_CANVAS_TIERS=1 forces it (byte-identity cross-check vs the
+        # composed path, asserted in tests).
+        return _finish_canvas_path(
+            table, tall_seg, seg_group, batch, config, mesh
+        )
+
+    # 4. Tiers 2/3 + final palettes composed on the cluster table: tables of
+    #    cluster-count length, no pixel repacking (codec.tiers23_palette_
+    #    indices); pixels are touched once more, for the final index paint.
+    if table is None:
+        pal_idx = [
+            (np.zeros((1, 3), np.uint8), np.zeros((h, w), np.uint8))
+        ] * b
+    else:
+        with stage_timer("s.tier23"):
+            pal_idx = CODEC.tiers23_palette_indices(
+                table, seg_group, image_of_seg, b, (h, w), config, mesh=mesh
+            )
+
+    # 5. Container packing: host DEFLATE parallelized in a thread pool (zlib
+    #    releases the GIL; device work is already done at this point).
+    def finish(k: int) -> bytes:
+        palette, indices = pal_idx[k]
+        return container.pack(palette, indices, level=config.container_level)
+
+    results: list = [None] * b
+    with stage_timer("s.container"):
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+            futures = {pool.submit(finish, k): k for k in range(b)}
+            for fut in concurrent.futures.as_completed(futures):
+                results[futures[fut]] = fut.result()
+    return results
+
+
+def _finish_canvas_path(table, tall_seg, seg_group, batch, config, mesh):
+    """Per-pixel tier-2/3 path (kept for fill_black_holes, which edits the
+    tier-2 canvas before tier 3)."""
+    b, h, w, _ = batch.shape
+    t1_tall = np.zeros((b * h, w, 3), np.uint8)
+    if table is not None:
+        from roibasedimagecompression_tpu import native as NATIVE
+
+        if not NATIVE.paint_masked_colors(
+            table["cluster_colors"], table["cluster_of_pair"],
+            table["inverse"], table["mask"], t1_tall,
+        ):
+            t1_tall[table["mask"]] = table["cluster_colors"][
+                table["cluster_of_pair"][table["inverse"]]
+            ]
     t1_list = [t1_tall[k * h : (k + 1) * h] for k in range(b)]
     group_maps = [
         np.where(
@@ -191,8 +247,6 @@ def encode_many(
     with stage_timer("s.tier23"):
         _, t3_list = CODEC.tiers23_colors_many(t1_list, group_maps, config, mesh=mesh)
 
-    # 5. Container packing: host DEFLATE parallelized in a thread pool (zlib
-    #    releases the GIL; device work is already done at this point).
     def finish(k: int) -> bytes:
         from roibasedimagecompression_tpu.ops import unique as U
 

@@ -46,7 +46,14 @@ while True:
         continue
     job = jobs[0]
     path = os.path.join(QDIR, job)
-    with open(path) as f:
+    # Claim atomically BEFORE executing (two workers once grabbed the same
+    # job; the loser crashed on the post-run rename).
+    claimed = path + ".run"
+    try:
+        os.rename(path, claimed)
+    except FileNotFoundError:
+        continue
+    with open(claimed) as f:
         src = f.read()
     buf = io.StringIO()
     t0 = time.perf_counter()
@@ -61,5 +68,5 @@ while True:
     out = buf.getvalue()
     with open(path + ".out", "w") as f:
         f.write(f"# status={status} wall={dt:.2f}s\n{out}")
-    os.rename(path, path + ".done")
+    os.rename(claimed, path + ".done")
     print(f"{job}: {status} {dt:.1f}s", flush=True)

@@ -45,6 +45,30 @@ def test_batched_matches_loop_path_quality(lenna128):
     assert abs(len(a) - len(b)) / max(len(a), len(b)) < 0.35
 
 
+def test_composed_tiers_match_canvas_path_bytes(lenna128, monkeypatch):
+    """The cluster-table composition of tiers 2/3 + final palette must be
+    byte-identical to the per-pixel canvas path it replaced (the two are
+    algebraically equal: each tier-1 cluster paints one color, so the canvas
+    re-extraction sees exactly the composed (problem, color) sets)."""
+    from roibasedimagecompression_tpu.parallel import stream
+
+    img = lenna128[:96, :96]
+    cfg_full = rtc.CodecConfig()
+    cfg_single = rtc.CodecConfig(single_region=True)
+
+    composed_single = rtc.encode(img, cfg_single)
+    composed_full = rtc.encode(img, cfg_full)
+    composed_batch = stream.encode_many([img, lenna128[32:128, 32:128]], cfg_full)
+
+    monkeypatch.setenv("RHCCQ_CANVAS_TIERS", "1")
+    assert rtc.encode(img, cfg_single) == composed_single
+    assert rtc.encode(img, cfg_full) == composed_full
+    assert (
+        stream.encode_many([img, lenna128[32:128, 32:128]], cfg_full)
+        == composed_batch
+    )
+
+
 def test_quality_knob_monotone(lenna128):
     """Higher quality preset => higher PSNR and (weakly) larger files."""
     img = lenna128[:96, :96]
