@@ -434,16 +434,24 @@ def tiers23_palette_indices(
             results.append(palette)
 
         # ---- the ONE pixel pass: paint palette indices ---------------------
-        idx_of_pair = idx_of_cluster[cop]
-        tall_idx = np.zeros(b * h * w, np.int32)
-        tall_idx[np.flatnonzero(mask.ravel())] = idx_of_pair[table["inverse"]]
+        from roibasedimagecompression_tpu import native
+
+        idx_of_pair = idx_of_cluster[cop].astype(np.int32)
+        inverse = table["inverse"]
+        n_masked = (h * w) - bg_counts
+        offs = np.concatenate([[0], np.cumsum(n_masked)])
         out = []
         for i in range(b):
             pal = results[i]
             dt = C.min_index_dtype(max(len(pal) - 1, 0))
-            out.append(
-                (pal, tall_idx[i * h * w : (i + 1) * h * w].reshape(h, w).astype(dt))
-            )
+            idx_map = np.zeros((h, w), dt)
+            inv_i = inverse[offs[i] : offs[i + 1]]
+            mask_i = mask[i * h : (i + 1) * h]
+            if not native.paint_masked_indices(idx_of_pair, inv_i, mask_i, idx_map):
+                idx_map.reshape(-1)[np.flatnonzero(mask_i.ravel())] = idx_of_pair[
+                    inv_i
+                ].astype(dt)
+            out.append((pal, idx_map))
     return out
 
 

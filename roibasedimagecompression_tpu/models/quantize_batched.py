@@ -159,7 +159,10 @@ def _eps_components_gather(colors_dev, starts, sizes, eps, *, cap, chunk):
         )
         return CL.eps_components(pts, e, v, None, chunk=chunk)
 
-    return jax.vmap(one)(starts, sizes, eps).astype(jnp.uint16)
+    # Narrowest dtype that fits (labels are row-local point indices < cap):
+    # the tunneled chip downloads at ~22 MB/s, so label bytes are wall-clock.
+    dt = jnp.uint8 if cap <= 256 else jnp.uint16
+    return jax.vmap(one)(starts, sizes, eps).astype(dt)
 
 
 @functools.partial(
@@ -183,7 +186,10 @@ def _kmeans_gather(
         )
         return labels
 
-    return jax.vmap(one)(starts, sizes, ks).astype(jnp.uint16)
+    # Labels < k_max: uint8 covers every k_max <= 256 bucket (the common
+    # case), halving the biggest split-level download payloads.
+    dt = jnp.uint8 if k_max <= 256 else jnp.uint16
+    return jax.vmap(one)(starts, sizes, ks).astype(dt)
 
 
 def _pow2(n: int, minimum: int = 1024) -> int:

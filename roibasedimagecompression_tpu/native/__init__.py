@@ -132,6 +132,11 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.paint_masked_indices.restype = None
+        lib.paint_masked_indices.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+        ]
         lib.score_candidates.restype = ctypes.c_int32
         lib.score_candidates.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -366,6 +371,27 @@ def paint_masked_colors(table: np.ndarray, idx1, inverse: np.ndarray,
     lib.paint_masked_colors(
         t.ctypes.data, i1.ctypes.data if i1 is not None else None,
         inv.ctypes.data, m.ctypes.data, m.size, out.ctypes.data,
+    )
+    return True
+
+
+def paint_masked_indices(idx_of_pair: np.ndarray, inverse: np.ndarray,
+                         mask: np.ndarray, out: np.ndarray) -> bool:
+    """out[mask] = idx_of_pair[inverse] in row-major mask order, writing in
+    place into a 1/2/4-byte unsigned index canvas (the container's minimal
+    dtype).  Returns False when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return False
+    idx = np.ascontiguousarray(idx_of_pair, dtype=np.int32)
+    inv = np.ascontiguousarray(inverse, dtype=np.int64)
+    m = np.ascontiguousarray(mask != 0, dtype=np.uint8).reshape(-1)
+    assert out.flags.c_contiguous and out.size == m.size
+    assert out.dtype.itemsize in (1, 2, 4)
+    lib.paint_masked_indices(
+        idx.ctypes.data, inv.ctypes.data, m.ctypes.data, m.size,
+        out.dtype.itemsize, out.ctypes.data,
     )
     return True
 

@@ -1298,6 +1298,31 @@ void paint_masked_colors(const uint8_t* table, const int64_t* idx1,
   }
 }
 
+// Palette-index writeback: for the j-th masked pixel (row-major scan
+// order), out[i] = idx_of_pair[inverse[j]] narrowed to item_size bytes
+// (1/2/4 — the container's minimal index dtype).  Unmasked pixels are left
+// untouched (callers pre-zero: background black is index 0 by palette
+// construction).  This is the ONE per-pixel pass of the composed tier
+// pipeline.
+void paint_masked_indices(const int32_t* idx_of_pair, const int64_t* inverse,
+                          const uint8_t* mask, int64_t n_pixels,
+                          int32_t item_size, void* out) {
+  int64_t j = 0;
+  if (item_size == 1) {
+    uint8_t* o = static_cast<uint8_t*>(out);
+    for (int64_t i = 0; i < n_pixels; ++i)
+      if (mask[i]) o[i] = static_cast<uint8_t>(idx_of_pair[inverse[j++]]);
+  } else if (item_size == 2) {
+    uint16_t* o = static_cast<uint16_t*>(out);
+    for (int64_t i = 0; i < n_pixels; ++i)
+      if (mask[i]) o[i] = static_cast<uint16_t>(idx_of_pair[inverse[j++]]);
+  } else {
+    uint32_t* o = static_cast<uint32_t*>(out);
+    for (int64_t i = 0; i < n_pixels; ++i)
+      if (mask[i]) o[i] = static_cast<uint32_t>(idx_of_pair[inverse[j++]]);
+  }
+}
+
 // Tier-2/3 pooled packing: write tag<<24|rgb keys for selected pixels into
 // out (row-major sel order).  Returns the number of keys written.
 int64_t pack_sel(const uint8_t* colors, const uint8_t* sel, int64_t n,

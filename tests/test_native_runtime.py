@@ -167,3 +167,17 @@ def test_native_score_candidates_matches_python(lenna128):
     best_native = native.score_candidates(gray, mag, nms, cands)
     best_python = CANNY.score_candidates_host(gray, mag, nms, cands)
     assert best_native == best_python
+
+
+def test_native_paint_masked_indices_matches_numpy():
+    rng = np.random.default_rng(5)
+    idx_of_pair = rng.integers(0, 300, 64).astype(np.int32)
+    mask = rng.random((16, 24)) < 0.5
+    inv = rng.integers(0, 64, int(mask.sum())).astype(np.int64)
+    for dt in (np.uint8, np.uint16, np.uint32):
+        out = np.zeros((16, 24), dt)
+        if not native.paint_masked_indices(idx_of_pair, inv, mask, out):
+            continue  # no toolchain: fallback covered by codec tests
+        want = np.zeros((16, 24), dt)
+        want[mask] = idx_of_pair[inv].astype(dt)
+        assert np.array_equal(out, want)
