@@ -13,12 +13,36 @@
 // Built as a plain shared library; Python binds via ctypes (no pybind11).
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <memory>
 #include <utility>
 #include <vector>
+
+// Stage timing for roi_pipeline, enabled by RHCCQ_NATIVE_TRACE=1 (perf work
+// only; no effect on results).
+namespace {
+struct StageClock {
+  bool on;
+  std::chrono::steady_clock::time_point t;
+  StageClock() {
+    const char* e = std::getenv("RHCCQ_NATIVE_TRACE");
+    on = e && e[0] && e[0] != '0';
+    t = std::chrono::steady_clock::now();
+  }
+  void lap(const char* name) {
+    if (!on) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[native] %-14s %6.2f ms\n", name,
+                 std::chrono::duration<double, std::milli>(now - t).count());
+    t = now;
+  }
+};
+}  // namespace
 
 extern "C" {
 
@@ -611,6 +635,7 @@ int32_t components_with_sums(const uint8_t* m, int h, int w, int conn,
 void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
                   const float* fp, uint8_t* roi_out, uint8_t* nonroi_out) {
   using namespace roi;
+  StageClock _sc;
   const int64_t n = static_cast<int64_t>(h) * w;
   const int density_kernel = ip[0], thin_window = ip[1], thin_min = ip[2];
   const int noise_min = ip[3], noise_window = ip[4], close_distance = ip[5];
@@ -629,6 +654,7 @@ void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
   gradient_nms(rgb, h, w, 3, mag.data(), nms.data());
   std::vector<uint8_t> edges(n);
   hysteresis(mag.data(), nms.data(), h, w, low, high, edges.data());
+  _sc.lap("grad+hyst");
 
   // 3. Density filter: thr = mean(density at edge pixels) / 100.
   std::vector<int32_t> cnt(n);
@@ -643,6 +669,7 @@ void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
   std::vector<uint8_t> binary(n);
   for (int64_t i = 0; i < n; ++i)
     binary[i] = edges[i] && (cnt[i] * inv_dk > thr);
+  _sc.lap("density");
 
   // 4. Thin-structure removal: thinness = 1 - 2*mean(EDT)/max(bbox dim).
   {
@@ -673,6 +700,7 @@ void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
     for (int64_t i = 0; i < n; ++i)
       if (binary[i] && drop[labels[i]]) binary[i] = 0;
   }
+  _sc.lap("thin");
 
   // 5. Small-noise removal: white pass then black pass, density shared from
   // the pre-pass mask (models/roi_fused._remove_small_noise).
@@ -702,9 +730,11 @@ void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
     one_pass(inv);
     for (int64_t i = 0; i < n; ++i) binary[i] = inv[i] ? 0 : 1;
   }
+  _sc.lap("noise");
 
   // 6. Morphological close, ellipse kernel (2*close_distance+1).
   close_se(binary, h, w, ellipse_spans(close_distance * 2 + 1));
+  _sc.lap("close11");
 
   // 7 & 9. Gap bridging (shared helper).
   auto bridge = [&](int max_gap) {
@@ -737,6 +767,7 @@ void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
     binary.swap(out);
   };
   bridge(bridge1_gap);
+  _sc.lap("bridge1");
 
   // 8. Border-protected unification.
   {
@@ -776,8 +807,10 @@ void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
     for (int64_t i = 0; i < n; ++i)
       if (!binary[i] && closed_white[i] && !border[i]) binary[i] = 1;
   }
+  _sc.lap("border");
 
   bridge(bridge2_gap);
+  _sc.lap("bridge2");
 
   // 10. Fill closed holes: 4-conn components of the inverse within size range.
   {
@@ -793,6 +826,7 @@ void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
     for (int64_t i = 0; i < n; ++i)
       if (inv[i] && fill[labels[i]]) binary[i] = 1;
   }
+  _sc.lap("fill");
 
   // 11. Small-region cleanup: close (3x3 rect) then drop tiny components.
   {
@@ -805,6 +839,7 @@ void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
     for (int32_t l = 1; l <= num; ++l) keep[l] = agg.area[l] >= clean_min;
     for (int64_t i = 0; i < n; ++i) binary[i] = binary[i] && keep[labels[i]];
   }
+  _sc.lap("clean");
 
   // 12. Buffer-zone split (extract_roi_nonroi).
   std::vector<uint8_t> roi_exp(binary), nonroi_exp(n);
@@ -816,6 +851,7 @@ void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
     roi_out[i] = binary[i] || buffer;
     nonroi_out[i] = (!binary[i]) || buffer;
   }
+  _sc.lap("buffer");
 }
 
 // ---------------------------------------------------------------------------
@@ -846,6 +882,7 @@ void canny_analysis(const uint8_t* rgb, int32_t h, int32_t w,
                     uint8_t* gray_out, int32_t* mag_out, uint8_t* nms_out,
                     float* cands_out) {
   using namespace roi;
+  StageClock _sc;
   const int64_t n = static_cast<int64_t>(h) * w;
 
   // Grayscale: cv2 weights, round-half-even (matches jnp.round).
