@@ -15,7 +15,22 @@ import numpy as np
 
 _HERE = os.path.dirname(__file__)
 _SRC = os.path.join(_HERE, "rhccq_native.cpp")
-_LIB_PATH = os.path.join(_HERE, "librhccq_native.so")
+
+
+def _lib_path() -> str:
+    # The library name carries a source-content hash: dlopen caches by path
+    # within a process, so rebuilding to a FIXED path leaves any live process
+    # (e.g. the warm TPU experiment worker) bound to the stale mapping even
+    # after a module reload.  A content-addressed name makes a reload pick up
+    # the fresh build.
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_HERE, f"librhccq_native-{h}.so")
+
+
+_LIB_PATH = _lib_path()
 _lock = threading.Lock()
 _lib = None
 _tried = False

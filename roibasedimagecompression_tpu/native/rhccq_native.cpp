@@ -112,43 +112,91 @@ inline void uf_union(std::vector<int32_t>& parent, int32_t a, int32_t b) {
 // stats_out (optional, may be null): int64 per label (1-indexed), layout
 // [area, minr, minc, maxr_excl, maxc_excl] * num_labels.
 // Returns number of foreground labels.
+// Run-based CCL core: rows decompose into maximal runs of foreground; a
+// union-find over RUNS (typically ~n/20 of pixel count) replaces the pixel
+// union-find, and every per-pixel pass becomes a per-run fill.  Labels are
+// compacted in component-first-seen scan order — identical numbering to a
+// pixel-scan union-find (a component's first scanned pixel starts its first
+// run).  Fills `runs_*` with per-run geometry and returns the component
+// count; labels/stats are written by the callers from the run table.
+namespace ccl {
+
+struct Runs {
+  std::vector<int32_t> start, end, row, label;  // per run; label is 1-based
+};
+
+inline int32_t rfind(std::vector<int32_t>& p, int32_t x) {
+  while (p[x] != x) {
+    p[x] = p[p[x]];
+    x = p[x];
+  }
+  return x;
+}
+
+inline void runion(std::vector<int32_t>& p, int32_t a, int32_t b) {
+  a = rfind(p, a);
+  b = rfind(p, b);
+  if (a != b) p[a < b ? b : a] = a < b ? a : b;
+}
+
+inline int32_t label_runs(const uint8_t* mask, int32_t h, int32_t w,
+                          int32_t conn, Runs& runs) {
+  runs.start.clear();
+  runs.end.clear();
+  runs.row.clear();
+  std::vector<int32_t> parent;
+  parent.reserve(1024);
+  int32_t prev_begin = 0, prev_end = 0;  // prev row's run index range
+  for (int32_t r = 0; r < h; ++r) {
+    const uint8_t* m = mask + static_cast<int64_t>(r) * w;
+    const int32_t row_begin = static_cast<int32_t>(runs.start.size());
+    int32_t p = prev_begin;  // overlap cursor into prev row's runs
+    int32_t c = 0;
+    while (c < w) {
+      while (c < w && !m[c]) ++c;
+      if (c >= w) break;
+      const int32_t a = c;
+      while (c < w && m[c]) ++c;
+      const int32_t b = c;  // run [a, b)
+      const int32_t id = static_cast<int32_t>(runs.start.size());
+      runs.start.push_back(a);
+      runs.end.push_back(b);
+      runs.row.push_back(r);
+      parent.push_back(id);
+      // Union with overlapping prev-row runs ([lo, hi) in 8-conn widens by 1).
+      const int32_t lo = conn == 8 ? a - 1 : a;
+      const int32_t hi = conn == 8 ? b + 1 : b;
+      while (p < prev_end && runs.end[p] <= lo) ++p;
+      for (int32_t q = p; q < prev_end && runs.start[q] < hi; ++q)
+        runion(parent, id, q);
+    }
+    prev_begin = row_begin;
+    prev_end = static_cast<int32_t>(runs.start.size());
+  }
+  const int32_t n_runs = static_cast<int32_t>(runs.start.size());
+  runs.label.assign(n_runs, 0);
+  int32_t next = 0;
+  for (int32_t i = 0; i < n_runs; ++i) {
+    const int32_t root = rfind(parent, i);
+    if (runs.label[root] == 0) runs.label[root] = ++next;
+    runs.label[i] = runs.label[root];
+  }
+  return next;
+}
+
+}  // namespace ccl
+
 int32_t cc_label(const uint8_t* mask, int32_t h, int32_t w, int32_t conn,
                  int32_t* labels, int64_t* stats_out) {
-  const int64_t n = static_cast<int64_t>(h) * w;
-  std::vector<int32_t> parent(n);
-  for (int64_t i = 0; i < n; ++i) parent[i] = static_cast<int32_t>(i);
-
-  // First pass: union with already-visited neighbors (left, up, and for
-  // 8-connectivity the two upper diagonals).
-  for (int32_t r = 0; r < h; ++r) {
-    const int64_t row = static_cast<int64_t>(r) * w;
-    for (int32_t c = 0; c < w; ++c) {
-      const int64_t i = row + c;
-      if (!mask[i]) continue;
-      if (c > 0 && mask[i - 1]) uf_union(parent, i, i - 1);
-      if (r > 0) {
-        if (mask[i - w]) uf_union(parent, i, i - w);
-        if (conn == 8) {
-          if (c > 0 && mask[i - w - 1]) uf_union(parent, i, i - w - 1);
-          if (c + 1 < w && mask[i - w + 1]) uf_union(parent, i, i - w + 1);
-        }
-      }
-    }
+  ccl::Runs runs;
+  const int32_t next = ccl::label_runs(mask, h, w, conn, runs);
+  std::memset(labels, 0, sizeof(int32_t) * static_cast<int64_t>(h) * w);
+  const int32_t n_runs = static_cast<int32_t>(runs.start.size());
+  for (int32_t i = 0; i < n_runs; ++i) {
+    int32_t* row = labels + static_cast<int64_t>(runs.row[i]) * w;
+    const int32_t l = runs.label[i];
+    for (int32_t c = runs.start[i]; c < runs.end[i]; ++c) row[c] = l;
   }
-
-  // Second pass: compact label ids in root-first-seen (scan) order.
-  std::vector<int32_t> compact(n, 0);
-  int32_t next = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    if (!mask[i]) {
-      labels[i] = 0;
-      continue;
-    }
-    const int32_t root = uf_find(parent, static_cast<int32_t>(i));
-    if (compact[root] == 0) compact[root] = ++next;
-    labels[i] = compact[root];
-  }
-
   if (stats_out) {
     for (int32_t l = 0; l < next; ++l) {
       int64_t* s = stats_out + 5 * l;
@@ -158,17 +206,14 @@ int32_t cc_label(const uint8_t* mask, int32_t h, int32_t w, int32_t conn,
       s[3] = 0;
       s[4] = 0;
     }
-    for (int32_t r = 0; r < h; ++r) {
-      for (int32_t c = 0; c < w; ++c) {
-        const int32_t l = labels[static_cast<int64_t>(r) * w + c];
-        if (!l) continue;
-        int64_t* s = stats_out + 5 * (l - 1);
-        s[0] += 1;
-        if (r < s[1]) s[1] = r;
-        if (c < s[2]) s[2] = c;
-        if (r + 1 > s[3]) s[3] = r + 1;
-        if (c + 1 > s[4]) s[4] = c + 1;
-      }
+    for (int32_t i = 0; i < n_runs; ++i) {
+      int64_t* s = stats_out + 5 * (runs.label[i] - 1);
+      const int64_t len = runs.end[i] - runs.start[i];
+      s[0] += len;
+      if (runs.row[i] < s[1]) s[1] = runs.row[i];
+      if (runs.start[i] < s[2]) s[2] = runs.start[i];
+      if (runs.row[i] + 1 > s[3]) s[3] = runs.row[i] + 1;
+      if (runs.end[i] > s[4]) s[4] = runs.end[i];
     }
   }
   return next;
@@ -448,9 +493,61 @@ void row_dist_to(const uint8_t* in, int h, int w, uint8_t target, int32_t* out) 
   }
 }
 
+// True when spans describe an odd (2r+1)^2 rect: dy in [-r, r], hx == r —
+// the separable two-pass path applies (row window then column window).
+inline bool rect_odd_radius(const std::vector<RowSpan>& spans, int* r_out) {
+  const int k = static_cast<int>(spans.size());
+  if (k < 1 || k % 2 == 0) return false;
+  const int r = k / 2;
+  for (int i = 0; i < k; ++i)
+    if (spans[i].dy != i - r || spans[i].hx != r) return false;
+  *r_out = r;
+  return true;
+}
+
+// Separable window-OR (dilate, target=1) / window-AND (erode, target=0) for
+// odd rects: horizontal pass via row distances, vertical pass via running
+// per-column distances — O(n) instead of O(k*n).  `hit` is the output value
+// where a target pixel falls inside the window.
+void rect_sep_pass(const uint8_t* in, int h, int w, int r, uint8_t target,
+                   uint8_t hit, uint8_t miss, uint8_t* out) {
+  const int64_t n = static_cast<int64_t>(h) * w;
+  const int32_t BIG = 1 << 29;
+  std::vector<int32_t> dist(n);
+  row_dist_to(in, h, w, target, dist.data());
+  std::vector<uint8_t> hmask(n);
+  for (int64_t i = 0; i < n; ++i) hmask[i] = dist[i] <= r;
+  // Vertical window over hmask with running per-column distances.
+  std::vector<int32_t> d(w, BIG);
+  std::vector<int32_t> vd(n);
+  for (int row = 0; row < h; ++row) {
+    const uint8_t* hm = hmask.data() + static_cast<int64_t>(row) * w;
+    int32_t* o = vd.data() + static_cast<int64_t>(row) * w;
+    for (int c = 0; c < w; ++c) {
+      d[c] = hm[c] ? 0 : (d[c] < BIG ? d[c] + 1 : BIG);
+      o[c] = d[c];
+    }
+  }
+  std::fill(d.begin(), d.end(), BIG);
+  for (int row = h - 1; row >= 0; --row) {
+    const uint8_t* hm = hmask.data() + static_cast<int64_t>(row) * w;
+    int32_t* o = vd.data() + static_cast<int64_t>(row) * w;
+    for (int c = 0; c < w; ++c) {
+      d[c] = hm[c] ? 0 : (d[c] < BIG ? d[c] + 1 : BIG);
+      if (d[c] < o[c]) o[c] = d[c];
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) out[i] = vd[i] <= r ? hit : miss;
+}
+
 // Binary dilation: outside-image pixels never contribute (cv2 default).
 void dilate_se(const uint8_t* in, int h, int w,
                const std::vector<RowSpan>& spans, uint8_t* out) {
+  int rr;
+  if (rect_odd_radius(spans, &rr)) {
+    rect_sep_pass(in, h, w, rr, 1, 1, 0, out);
+    return;
+  }
   const int64_t n = static_cast<int64_t>(h) * w;
   std::vector<int32_t> dist(n);
   row_dist_to(in, h, w, 1, dist.data());
@@ -469,6 +566,11 @@ void dilate_se(const uint8_t* in, int h, int w,
 // Binary erosion: outside-image pixels count as foreground (cv2 default).
 void erode_se(const uint8_t* in, int h, int w,
               const std::vector<RowSpan>& spans, uint8_t* out) {
+  int rr;
+  if (rect_odd_radius(spans, &rr)) {
+    rect_sep_pass(in, h, w, rr, 0, 0, 1, out);
+    return;
+  }
   const int64_t n = static_cast<int64_t>(h) * w;
   std::vector<int32_t> dist(n);
   row_dist_to(in, h, w, 0, dist.data());
@@ -517,21 +619,31 @@ void gradient_nms(const uint8_t* img, int h, int w, int channels, int32_t* mag,
   const int64_t n = static_cast<int64_t>(h) * w;
   std::vector<int32_t> bgx(n), bgy(n);
   std::vector<int32_t> bmag(n, -1);
+  // Planar + separable Sobel: deinterleave each channel, then per row
+  // gx = colsum[c+1]-colsum[c-1], gy = rowdiff[c-1]+2*rowdiff[c]+rowdiff[c+1]
+  // with colsum = [1,2,1]^T and rowdiff = lower-upper (replicated borders) —
+  // contiguous loads the compiler vectorizes, vs 8 stride-3 loads per pixel.
+  std::vector<uint8_t> plane(n);
+  std::vector<int32_t> colsum(w), rowdiff(w);
   for (int ch = 0; ch < channels; ++ch) {
+    for (int64_t i = 0; i < n; ++i) plane[i] = img[i * channels + ch];
     for (int r = 0; r < h; ++r) {
-      const int rm = clampi(r - 1, 0, h - 1), rp = clampi(r + 1, 0, h - 1);
+      const uint8_t* pm =
+          plane.data() + static_cast<int64_t>(clampi(r - 1, 0, h - 1)) * w;
+      const uint8_t* pc = plane.data() + static_cast<int64_t>(r) * w;
+      const uint8_t* pp =
+          plane.data() + static_cast<int64_t>(clampi(r + 1, 0, h - 1)) * w;
       for (int c = 0; c < w; ++c) {
-        const int cm = clampi(c - 1, 0, w - 1), cp = clampi(c + 1, 0, w - 1);
-        auto px = [&](int rr, int cc) -> int32_t {
-          return img[(static_cast<int64_t>(rr) * w + cc) * channels + ch];
-        };
-        const int32_t a = px(rm, cm), b = px(rm, c), cc2 = px(rm, cp);
-        const int32_t d = px(r, cm), f = px(r, cp);
-        const int32_t g = px(rp, cm), hh = px(rp, c), i2 = px(rp, cp);
-        const int32_t gx = -a + cc2 - 2 * d + 2 * f - g + i2;
-        const int32_t gy = -a - 2 * b - cc2 + g + 2 * hh + i2;
+        colsum[c] = pm[c] + 2 * pc[c] + pp[c];
+        rowdiff[c] = static_cast<int32_t>(pp[c]) - pm[c];
+      }
+      const int64_t row = static_cast<int64_t>(r) * w;
+      for (int c = 0; c < w; ++c) {
+        const int cm = c > 0 ? c - 1 : 0, cp = c + 1 < w ? c + 1 : w - 1;
+        const int32_t gx = colsum[cp] - colsum[cm];
+        const int32_t gy = rowdiff[cm] + 2 * rowdiff[c] + rowdiff[cp];
         const int32_t m = std::abs(gx) + std::abs(gy);
-        const int64_t i = static_cast<int64_t>(r) * w + c;
+        const int64_t i = row + c;
         if (m > bmag[i]) {  // strict: ties keep the lower channel (argmax)
           bmag[i] = m;
           bgx[i] = gx;
@@ -593,12 +705,14 @@ struct CompAgg {
   std::vector<double> sum_a, sum_b;
 };
 
-// CC labels + per-component area/bbox/two value sums in one pass.
+// CC labels + per-component area/bbox/two value sums, run-based: labels fill
+// and every aggregate walk per-run instead of per-pixel.
 int32_t components_with_sums(const uint8_t* m, int h, int w, int conn,
                              const float* va, const float* vb,
                              std::vector<int32_t>& labels, CompAgg& agg) {
-  labels.resize(static_cast<size_t>(h) * w);
-  const int32_t num = cc_label(m, h, w, conn, labels.data(), nullptr);
+  labels.assign(static_cast<size_t>(h) * w, 0);
+  ccl::Runs runs;
+  const int32_t num = ccl::label_runs(m, h, w, conn, runs);
   agg.area.assign(num + 1, 0);
   agg.minr.assign(num + 1, h);
   agg.maxr.assign(num + 1, -1);
@@ -606,18 +720,27 @@ int32_t components_with_sums(const uint8_t* m, int h, int w, int conn,
   agg.maxc.assign(num + 1, -1);
   agg.sum_a.assign(num + 1, 0.0);
   agg.sum_b.assign(num + 1, 0.0);
-  for (int r = 0; r < h; ++r) {
-    for (int c = 0; c < w; ++c) {
-      const int64_t i = static_cast<int64_t>(r) * w + c;
-      const int32_t l = labels[i];
-      if (!l) continue;
-      agg.area[l] += 1;
-      if (r < agg.minr[l]) agg.minr[l] = r;
-      if (r > agg.maxr[l]) agg.maxr[l] = r;
-      if (c < agg.minc[l]) agg.minc[l] = c;
-      if (c > agg.maxc[l]) agg.maxc[l] = c;
-      if (va) agg.sum_a[l] += va[i];
-      if (vb) agg.sum_b[l] += vb[i];
+  const int32_t n_runs = static_cast<int32_t>(runs.start.size());
+  for (int32_t i = 0; i < n_runs; ++i) {
+    const int32_t l = runs.label[i];
+    const int32_t r = runs.row[i], a = runs.start[i], b = runs.end[i];
+    int32_t* lrow = labels.data() + static_cast<int64_t>(r) * w;
+    for (int32_t c = a; c < b; ++c) lrow[c] = l;
+    agg.area[l] += b - a;
+    if (r < agg.minr[l]) agg.minr[l] = r;
+    if (r > agg.maxr[l]) agg.maxr[l] = r;
+    if (a < agg.minc[l]) agg.minc[l] = a;
+    if (b - 1 > agg.maxc[l]) agg.maxc[l] = b - 1;
+    const int64_t base = static_cast<int64_t>(r) * w;
+    if (va) {
+      double s = 0.0;
+      for (int32_t c = a; c < b; ++c) s += va[base + c];
+      agg.sum_a[l] += s;
+    }
+    if (vb) {
+      double s = 0.0;
+      for (int32_t c = a; c < b; ++c) s += vb[base + c];
+      agg.sum_b[l] += s;
     }
   }
   return num;
@@ -771,29 +894,40 @@ void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
 
   // 8. Border-protected unification.
   {
-    // Sobel on the binary mask (reflect-101), normalized magnitude.
-    std::vector<float> gmag(n);
-    float gmax = 0.0f;
-    for (int r = 0; r < h; ++r) {
-      for (int c = 0; c < w; ++c) {
-        auto px = [&](int rr, int cc) -> int32_t {
-          return binary[static_cast<int64_t>(reflect101(rr, h)) * w +
-                        reflect101(cc, w)] ? 1 : 0;
-        };
-        const int32_t a = px(r - 1, c - 1), b = px(r - 1, c), c2 = px(r - 1, c + 1);
-        const int32_t d = px(r, c - 1), f = px(r, c + 1);
-        const int32_t g = px(r + 1, c - 1), hh = px(r + 1, c), i2 = px(r + 1, c + 1);
-        const int32_t gx = -a + c2 - 2 * d + 2 * f - g + i2;
-        const int32_t gy = -a - 2 * b - c2 + g + 2 * hh + i2;
-        const float m = std::sqrt(static_cast<float>(gx * gx + gy * gy));
-        gmag[static_cast<int64_t>(r) * w + c] = m;
-        if (m > gmax) gmax = m;
+    // Sobel on the binary mask (reflect-101), separable, compared in squared
+    // magnitude: m/gmax > s  <=>  m^2 > s^2 * gmax^2 (all non-negative), so
+    // no per-pixel sqrt (may differ from the sqrt form only on exact float
+    // ties, which the downstream heuristics tolerate).
+    std::vector<int32_t> m2(n);
+    int32_t m2max = 0;
+    {
+      std::vector<int32_t> colsum(w), rowdiff(w);
+      for (int r = 0; r < h; ++r) {
+        const uint8_t* pm =
+            binary.data() + static_cast<int64_t>(reflect101(r - 1, h)) * w;
+        const uint8_t* pc = binary.data() + static_cast<int64_t>(r) * w;
+        const uint8_t* pp =
+            binary.data() + static_cast<int64_t>(reflect101(r + 1, h)) * w;
+        for (int c = 0; c < w; ++c) {
+          colsum[c] = (pm[c] ? 1 : 0) + 2 * (pc[c] ? 1 : 0) + (pp[c] ? 1 : 0);
+          rowdiff[c] = (pp[c] ? 1 : 0) - (pm[c] ? 1 : 0);
+        }
+        int32_t* o = m2.data() + static_cast<int64_t>(r) * w;
+        for (int c = 0; c < w; ++c) {
+          const int cm = reflect101(c - 1, w), cp = reflect101(c + 1, w);
+          const int32_t gx = colsum[cp] - colsum[cm];
+          const int32_t gy = rowdiff[cm] + 2 * rowdiff[c] + rowdiff[cp];
+          const int32_t m = gx * gx + gy * gy;
+          o[c] = m;
+          if (m > m2max) m2max = m;
+        }
       }
     }
     std::vector<uint8_t> strong(n);
-    const float denom = std::max(gmax, 1e-12f);
+    const float s2 = border_sens * 0.5f;
+    const float thr2 = s2 * s2 * std::max(static_cast<float>(m2max), 1e-24f);
     for (int64_t i = 0; i < n; ++i)
-      strong[i] = (gmag[i] / denom) > (border_sens * 0.5f) ? 1 : 0;
+      strong[i] = static_cast<float>(m2[i]) > thr2 ? 1 : 0;
     std::vector<uint8_t> border(strong);
     const auto ones3 = rect_spans(3);
     close_se(border, h, w, ones3);
