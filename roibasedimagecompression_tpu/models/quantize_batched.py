@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from roibasedimagecompression_tpu import config as cfg
 from roibasedimagecompression_tpu.ops import cluster as CL
 from roibasedimagecompression_tpu.parallel import shard as SHARD
+from roibasedimagecompression_tpu.utils import dispatch as DISPATCH
 from roibasedimagecompression_tpu.utils.timing import stage_timer
 
 _BUCKETS = (64, 256, 1024, 4096, 9999)  # eps-CC path caps (>=10k goes to k-means)
@@ -389,7 +390,8 @@ def tier1_table(
             sizes_b[: len(ids)] = sizes[ids]
             eps_b = np.ones(b, np.float32)
             eps_b[: len(ids)] = eps[ids]
-            result = _eps_components_gather(
+            result = DISPATCH.submit(
+                _eps_components_gather,
                 colors_dev,
                 SHARD.shard_rows(starts_b, mesh),
                 SHARD.shard_rows(sizes_b, mesh),
@@ -397,7 +399,7 @@ def tier1_table(
                 cap=cap, chunk=min(512, cap),
             )
             pending.append((cap, ids, starts[ids], sizes[ids], result))
-        collected = SHARD.collect_all([p[4] for p in pending])
+        collected = SHARD.collect_all([p[4].result() for p in pending])
         for (cap, ids, st_b, sz_b, _), labels in zip(pending, collected):
             # Row-local min-index labels -> globally unique keys, scattered
             # back over the runs' real points only.
@@ -639,7 +641,8 @@ def cluster_pair_table(
             sizes_b[: len(ids)] = nb_sizes[ids]
             eps_b = np.ones(b, np.float32)
             eps_b[: len(ids)] = eps[ids]
-            result = _eps_components_gather(
+            result = DISPATCH.submit(
+                _eps_components_gather,
                 colors_dev,
                 SHARD.shard_rows(starts_b, mesh),
                 SHARD.shard_rows(sizes_b, mesh),
@@ -647,7 +650,7 @@ def cluster_pair_table(
                 cap=cap, chunk=min(512, cap),
             )
             pending.append((cap, ids, nb_starts[ids], nb_sizes[ids], result))
-        collected = SHARD.collect_all([p[4] for p in pending])
+        collected = SHARD.collect_all([p[4].result() for p in pending])
         for (cap, ids, st_b, sz_b, _), labels in zip(pending, collected):
             flat_pos, flat_row, within = _flat_run_positions(st_b, sz_b)
             cluster_keys[flat_pos] = (
@@ -804,7 +807,8 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
                 sizes_b[: len(ids)] = sizes[ids]
                 ks_b = np.ones(b, np.int32)
                 ks_b[: len(ids)] = ks[rows]
-                result = _kmeans_gather(
+                result = DISPATCH.submit(
+                    _kmeans_gather,
                     colors_dev, order_dev,
                     SHARD.shard_rows(starts_b, mesh),
                     SHARD.shard_rows(sizes_b, mesh),
@@ -823,7 +827,7 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_clus
                 )
                 pending.append((ids, starts[ids], sizes[ids], k_max, result))
         with stage_timer("split.kmeans"):
-            collected = SHARD.collect_all([p[4] for p in pending])
+            collected = SHARD.collect_all([p[4].result() for p in pending])
         for (ids, st_b, sz_b, k_max, _), labels in zip(pending, collected):
             flat_pos, flat_row, within = _flat_run_positions(st_b, sz_b)
             cluster_of_pair[order[flat_pos]] = (

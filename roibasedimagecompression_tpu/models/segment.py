@@ -23,6 +23,7 @@ from roibasedimagecompression_tpu.ops import colors as COL
 from roibasedimagecompression_tpu.ops import conv as CONV
 from roibasedimagecompression_tpu.ops import lbp as LBP
 from roibasedimagecompression_tpu.ops import slic as SLIC
+from roibasedimagecompression_tpu.utils import dispatch as DISPATCH
 from roibasedimagecompression_tpu.utils.timing import stage_timer
 
 
@@ -306,14 +307,24 @@ def _split_score_batch_gather(img_pad, reg_a, reg_b, rows, *, ph, pw):
 
 
 def _pad_batch(b: int, row_pixels: int = 0) -> int:
-    """Batch padding to a multiple of four, minimum 4 (same policy as
-    ops/slic._pad_batch).  Huge-row buckets (>= 2 MP per row — the 22 MP
-    single-region case) pad exactly: a padded row is a full image of wasted
-    kernel work there, and such shapes are rare enough that per-count
-    compiles are cheaper."""
+    """Batch padding: pow2 to 32, then multiples of 32.
+
+    Coarser than the mult-of-4 policy on purpose: the split-score graph is
+    by far the most expensive graph in the codec to compile remotely (~6 s
+    server work per variant, vs ~1 s for SLIC/eps-CC/k-means), so its batch
+    dimension gets the fewest distinct values — different batches of images
+    then reuse the same compiled set.  Padded rows are ~25 ns/px of wasted
+    kernel work and four floats of download each: noise.  Huge-row buckets
+    (>= 2 MP per row — the 22 MP single-region case) still pad exactly: a
+    padded row is a full image of wasted work there."""
     if row_pixels >= 2_000_000:
         return b
-    return max(4, -(-b // 4) * 4)
+    p = 4
+    while p < b and p < 32:
+        p *= 2
+    if p >= b:
+        return p
+    return -(-b // 32) * 32
 
 
 def split_scores_many(
@@ -382,7 +393,8 @@ def split_scores_many(
                             else (dbatch.img, dbatch.reg_a, dbatch.reg_b)
                         )
                         pending.append(
-                            ([ids[r] for r in sel], _split_score_batch_gather(
+                            ([ids[r] for r in sel], DISPATCH.submit(
+                                _split_score_batch_gather,
                                 img, ra, rb, SHARD.shard_rows(sub, mesh),
                                 ph=ph, pw=pw,
                             ))
@@ -399,12 +411,15 @@ def split_scores_many(
                     mask_b[row, :h, :w] = m
             with stage_timer("score.dispatch"):
                 pending.append(
-                    (ids, _split_score_batch(
+                    (ids, DISPATCH.submit(
+                        _split_score_batch,
                         SHARD.shard_rows(rgb_b, mesh), SHARD.shard_rows(mask_b, mesh)
                     ))
                 )
         with stage_timer("score.collect"):
-            flat = SHARD.collect_all([x for _, r in pending for x in r])
+            flat = SHARD.collect_all(
+                [x for _, r in pending for x in r.result()]
+            )
         for j, (ids, _) in enumerate(pending):
             overall, color, texture, count = flat[4 * j : 4 * j + 4]
             for row, i in enumerate(ids):

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from roibasedimagecompression_tpu.utils import dispatch as DISPATCH
+
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
@@ -294,12 +296,18 @@ def kmeans_host_many(problems: list, *, seed: int = 42, iters: int = 25) -> list
         pts[:n] = points
         valid = np.zeros(n_pad, bool)
         valid[:n] = True
-        labels, _ = kmeans(
-            jnp.asarray(pts), jnp.asarray(valid), k, k_max=k_max, iters=iters,
-            seed=seed, chunk=min(2048, n_pad), plusplus=k_max <= 256,
+        labels = DISPATCH.submit(
+            lambda pts, valid, k, k_max, n_pad: kmeans(
+                jnp.asarray(pts), jnp.asarray(valid), k, k_max=k_max,
+                iters=iters, seed=seed, chunk=min(2048, n_pad),
+                plusplus=k_max <= 256,
+            )[0],
+            pts, valid, k, k_max, n_pad,
         )
         pending.append((n, labels))
-    collected = SHARD.collect_all([p[1] for p in pending if p[1] is not None])
+    collected = SHARD.collect_all(
+        [p[1].result() for p in pending if p[1] is not None]
+    )
     out, j = [], 0
     for n, lab in pending:
         if lab is None:

@@ -43,14 +43,32 @@ _SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
 _SOBEL_Y = _SOBEL_X.T
 
 
+def _sep3(img: jnp.ndarray, vker, hker) -> jnp.ndarray:
+    """Separable 3-tap correlation with reflect-101 borders as shifted adds.
+
+    The 3x3 Sobel family factors exactly into a vertical and a horizontal
+    3-tap pass.  Written as pad + three shifted slices per axis it lowers to
+    pure elementwise HLO that XLA fuses and compiles in milliseconds, where
+    the equivalent lax.conv_general_dilated pays the TPU conv emitter's much
+    slower compilation for no runtime benefit at 3x3 (the split-score graph
+    carries eight of these, and its remote-compile cost dominated cold-start
+    encode profiles).
+    """
+    x = img.astype(jnp.float32)
+    p = jnp.pad(x, ((1, 1), (0, 0)), mode="reflect")
+    v = vker[0] * p[:-2] + vker[1] * p[1:-1] + vker[2] * p[2:]
+    p = jnp.pad(v, ((0, 0), (1, 1)), mode="reflect")
+    return hker[0] * p[:, :-2] + hker[1] * p[:, 1:-1] + hker[2] * p[:, 2:]
+
+
 def sobel_cv2(gray: jnp.ndarray) -> tuple:
     """cv2.Sobel(gray, CV_64F, 1, 0/0, 1, ksize=3) pair (gx, gy).
 
     cv2 uses BORDER_REFLECT_101 ('reflect' in numpy terms).
     """
     g = gray.astype(jnp.float32)
-    gx = conv2d_same(g, jnp.asarray(_SOBEL_X))
-    gy = conv2d_same(g, jnp.asarray(_SOBEL_Y))
+    gx = _sep3(g, (1.0, 2.0, 1.0), (-1.0, 0.0, 1.0))
+    gy = _sep3(g, (-1.0, 0.0, 1.0), (1.0, 2.0, 1.0))
     return gx, gy
 
 
@@ -64,8 +82,8 @@ def sobel_skimage(img: jnp.ndarray) -> jnp.ndarray:
 
     (split_score.py:48-53,92 feeds float images in skimage scaling.)
     """
-    h = conv2d_same(img, jnp.asarray(_SOBEL_Y) / 4.0)
-    v = conv2d_same(img, jnp.asarray(_SOBEL_X) / 4.0)
+    h = _sep3(img, (-0.25, 0.0, 0.25), (1.0, 2.0, 1.0))
+    v = _sep3(img, (0.25, 0.5, 0.25), (-1.0, 0.0, 1.0))
     return jnp.sqrt(h * h + v * v) / np.sqrt(2.0)
 
 

@@ -30,6 +30,7 @@ from roibasedimagecompression_tpu.ops import cc as CC
 from roibasedimagecompression_tpu.ops import colors as COL
 from roibasedimagecompression_tpu.ops import conv as CONV
 from roibasedimagecompression_tpu.parallel import shard as SHARD
+from roibasedimagecompression_tpu.utils import dispatch as DISPATCH
 from roibasedimagecompression_tpu.utils.timing import stage_timer
 
 
@@ -455,7 +456,8 @@ def slic_many(
                     dbatch.transposed() if tflag
                     else (dbatch.img, dbatch.reg_a, dbatch.reg_b)
                 )
-                result = _slic_core_batch_gather(
+                result = DISPATCH.submit(
+                    _slic_core_batch_gather,
                     src_img, src_a, src_b,
                     SHARD.shard_rows(rows_b, mesh),
                     SHARD.shard_rows(cyx_b, mesh),
@@ -464,7 +466,8 @@ def slic_many(
                     ph=ph, pw=pw, **common,
                 )
             else:
-                result = _slic_core_batch(
+                result = DISPATCH.submit(
+                    _slic_core_batch,
                     SHARD.shard_rows(imgs_b, mesh),
                     SHARD.shard_rows(masks_b, mesh),
                     SHARD.shard_rows(cyx_b, mesh),
@@ -475,7 +478,7 @@ def slic_many(
             pending.append((ids, masks_b, result))
 
     with stage_timer("slic.core"):
-        collected = SHARD.collect_all([p[2] for p in pending])
+        collected = SHARD.collect_all([p[2].result() for p in pending])
     for (ids, masks_b, _), assign_b in zip(pending, collected):
         if enforce_connectivity:
             with stage_timer("slic.conn"):

@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--images", type=int, default=8)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--log-compiles", action="store_true")
+    ap.add_argument(
+        "--cprofile", default="",
+        help="dump cProfile stats of the LAST run to this path",
+    )
     args = ap.parse_args()
 
     import jax
@@ -54,9 +58,18 @@ def main():
         if run == args.runs - 1 and args.log_compiles:
             jax.config.update("jax_log_compiles", True)
         timing.reset_stages()
+        prof = None
+        if args.cprofile and run == args.runs - 1:
+            import cProfile
+
+            prof = cProfile.Profile()
+            prof.enable()
         t0 = time.perf_counter()
         blobs = stream.encode_many(imgs, cfg)
         dt = time.perf_counter() - t0
+        if prof is not None:
+            prof.disable()
+            prof.dump_stats(args.cprofile)
         stages = {
             k: round(v["seconds"], 3) for k, v in timing.stage_report().items()
         }
