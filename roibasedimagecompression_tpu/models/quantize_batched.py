@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from roibasedimagecompression_tpu import config as cfg
+from roibasedimagecompression_tpu import native
 from roibasedimagecompression_tpu.ops import cluster as CL
 from roibasedimagecompression_tpu.parallel import shard as SHARD
 from roibasedimagecompression_tpu.utils import dispatch as DISPATCH
@@ -344,15 +345,38 @@ def tier1_table(
     canvas) collapses to gathers on cluster ids.
     """
     with stage_timer("t1.pairs"):
-        seg_of_pair, color_of_pair, inverse, mask, pix_counts = _pairs(
-            image_rgb, seg_map
-        )
-        if len(seg_of_pair) == 0:
-            return None
-        pre_repair_counts = pix_counts
-        seg_of_pair, color_of_pair, inverse, repair_remap = _black_repair_pairs(
-            seg_of_pair, color_of_pair, inverse
-        )
+        mask = seg_map > 0
+        repaired_counts = None
+        out = native.pack_pairs(image_rgb, seg_map)
+        if out is not None:
+            # Fully-native pair path: dedup + black repair in C++ (the NumPy
+            # repair's minimum.at/cumsum chain was ~0.25 s/batch of host CPU).
+            uniq, inverse, counts = out
+            if len(uniq) == 0:
+                return None
+            m = native.black_repair_pairs(uniq, counts, inverse)
+            if m is not None:
+                uniq, counts = uniq[:m], counts[:m]
+                seg_of_pair = (uniq >> 24).astype(np.int32)
+                color_of_pair = (uniq & 0xFFFFFF).astype(np.int32)
+                repaired_counts = counts
+            else:
+                seg_of_pair = (uniq >> 24).astype(np.int32)
+                color_of_pair = (uniq & 0xFFFFFF).astype(np.int32)
+                pre_repair_counts = counts
+                (
+                    seg_of_pair, color_of_pair, inverse, repair_remap,
+                ) = _black_repair_pairs(seg_of_pair, color_of_pair, inverse)
+        else:
+            seg_of_pair, color_of_pair, inverse, _mask2, _ = _pairs(
+                image_rgb, seg_map
+            )
+            if len(seg_of_pair) == 0:
+                return None
+            pre_repair_counts = None
+            (
+                seg_of_pair, color_of_pair, inverse, repair_remap,
+            ) = _black_repair_pairs(seg_of_pair, color_of_pair, inverse)
     colors = _unpack(color_of_pair).astype(np.float32)
     n_pairs = len(seg_of_pair)
 
@@ -442,7 +466,11 @@ def tier1_table(
     # cluster color minimizes pixel-level MSE; weighted=False reproduces the
     # reference's unweighted palette-entry mean.
     with stage_timer("t1.means"):
-        if pre_repair_counts is not None:
+        if repaired_counts is not None:
+            # The native repair folded repaired pairs' pixel counts into
+            # their targets in place.
+            pair_weights = repaired_counts.astype(np.float64)
+        elif pre_repair_counts is not None:
             # Per-pair pixel counts fell out of the native dedup; the
             # black repair folds repaired pairs' counts into their
             # targets through the remap.
@@ -458,15 +486,23 @@ def tier1_table(
         # weighted=True weights each palette color by its pixel count so the
         # cluster color minimizes pixel-level MSE; weighted=False reproduces
         # the reference's unweighted palette-entry mean.
-        w = pair_weights if weighted else np.ones(len(seg_of_pair), np.float64)
-        counts = np.bincount(cluster_of_pair, weights=w, minlength=next_cluster)
-        means = np.zeros((next_cluster, 3), np.float64)
-        for c in range(3):
-            means[:, c] = np.bincount(
-                cluster_of_pair, weights=colors[:, c] * w, minlength=next_cluster
+        w = pair_weights if weighted else None
+        cluster_colors = native.cluster_means_u8(
+            cluster_of_pair, color_of_pair, w, next_cluster
+        )
+        if cluster_colors is None:
+            wv = w if w is not None else np.ones(len(seg_of_pair), np.float64)
+            counts = np.bincount(
+                cluster_of_pair, weights=wv, minlength=next_cluster
             )
-        means /= np.maximum(counts, 1.0)[:, None]
-        cluster_colors = means.astype(np.uint8)
+            means = np.zeros((next_cluster, 3), np.float64)
+            for c in range(3):
+                means[:, c] = np.bincount(
+                    cluster_of_pair, weights=colors[:, c] * wv,
+                    minlength=next_cluster,
+                )
+            means /= np.maximum(counts, 1.0)[:, None]
+            cluster_colors = means.astype(np.uint8)
     return {
         "seg_of_pair": seg_of_pair,
         "cluster_of_pair": cluster_of_pair,
@@ -694,15 +730,20 @@ def cluster_pair_table(
     # Per-pair pixel multiplicities fall out of the radix dedup — no
     # repair/remap happens on this path (black pairs are pinned), so they
     # ARE the weights.
-    w = weights.astype(np.float64) if weights is not None else np.ones(n_pairs)
-    counts = np.bincount(cluster_of_pair, weights=w, minlength=next_cluster)
-    means = np.zeros((next_cluster, 3), np.float64)
-    for c in range(3):
-        means[:, c] = np.bincount(
-            cluster_of_pair, weights=colors[:, c] * w, minlength=next_cluster
-        )
-    means /= np.maximum(counts, 1.0)[:, None]
-    cluster_colors = means.astype(np.uint8)
+    w = weights.astype(np.float64) if weights is not None else None
+    cluster_colors = native.cluster_means_u8(
+        cluster_of_pair, color_of_pair, w, next_cluster
+    )
+    if cluster_colors is None:
+        wv = w if w is not None else np.ones(n_pairs)
+        counts = np.bincount(cluster_of_pair, weights=wv, minlength=next_cluster)
+        means = np.zeros((next_cluster, 3), np.float64)
+        for c in range(3):
+            means[:, c] = np.bincount(
+                cluster_of_pair, weights=colors[:, c] * wv, minlength=next_cluster
+            )
+        means /= np.maximum(counts, 1.0)[:, None]
+        cluster_colors = means.astype(np.uint8)
     # Pinned black stays exactly black regardless of weighting.
     pair_colors = cluster_colors[cluster_of_pair]
     pair_colors[black_rows] = 0

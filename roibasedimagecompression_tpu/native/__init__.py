@@ -137,6 +137,16 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.cluster_means_u8.restype = None
+        lib.cluster_means_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.black_repair_pairs.restype = ctypes.c_int64
+        lib.black_repair_pairs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.pack_sel.restype = ctypes.c_int64
         lib.pack_sel.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -364,6 +374,55 @@ def pack_pairs(image_rgb: np.ndarray, seg_map: np.ndarray):
         uniq.ctypes.data, inverse.ctypes.data, counts.ctypes.data,
     )
     return uniq[:m].copy(), inverse, counts[:m].copy()
+
+
+def black_repair_pairs(uniq: np.ndarray, counts: np.ndarray,
+                       inverse: np.ndarray):
+    """Per-segment black repair on a sorted unique pair table, in place.
+
+    uniq/counts: (m,) int64 sorted seg<<24|rgb keys + pixel counts;
+    inverse: (n_masked,) int64 pair ids.  Black pairs in segments with
+    non-black colors remap to the segment's darkest non-black pair (counts
+    fold into the target); the table compacts in place and inverse is
+    rewritten.  Returns the compacted pair count, or None when the native
+    library is unavailable (callers run the NumPy repair instead).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert uniq.dtype == np.int64 and uniq.flags.c_contiguous
+    assert counts.dtype == np.int64 and counts.flags.c_contiguous
+    assert inverse.dtype == np.int64 and inverse.flags.c_contiguous
+    remap = np.empty(len(uniq), np.int64)
+    return int(
+        lib.black_repair_pairs(
+            uniq.ctypes.data, counts.ctypes.data, len(uniq),
+            inverse.ctypes.data, inverse.size, remap.ctypes.data,
+        )
+    )
+
+
+def cluster_means_u8(cluster_of_pair: np.ndarray, colors_packed: np.ndarray,
+                     weights, n_clusters: int):
+    """Weighted per-cluster mean colors truncated to uint8 — bit-identical to
+    the NumPy bincount/divide/astype chain (same accumulation order).
+    Returns (n_clusters, 3) uint8, or None when the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    cl = np.ascontiguousarray(cluster_of_pair, dtype=np.int64)
+    co = np.ascontiguousarray(colors_packed, dtype=np.int32)
+    w = None
+    if weights is not None:
+        w = np.ascontiguousarray(weights, dtype=np.float64)
+    out = np.empty((n_clusters, 3), np.uint8)
+    lib.cluster_means_u8(
+        cl.ctypes.data, co.ctypes.data,
+        w.ctypes.data if w is not None else None,
+        cl.size, int(n_clusters), out.ctypes.data,
+    )
+    return out
 
 
 def paint_masked_colors(table: np.ndarray, idx1, inverse: np.ndarray,

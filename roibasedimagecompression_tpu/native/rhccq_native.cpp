@@ -1449,6 +1449,66 @@ int64_t pack_pairs(const uint8_t* rgb, const int32_t* seg, int64_t n,
   return u;
 }
 
+// Per-segment black repair on the sorted unique pair table (tier-1).
+// Keys are seg<<24|rgb sorted ascending, so a segment's black pair
+// (rgb == 0) is always the FIRST entry of its run.  Each black pair in a
+// segment that also has non-black colors is remapped onto the run's darkest
+// (min r^2+g^2+b^2, lowest index on ties) non-black pair — the reference's
+// "nearest to [0,0,0]" repair rule (encoder/compression/subregions.py:
+// 392-421) expressed on the pair table.  The table is compacted in place
+// (order preserved), pixel counts fold into the repair target, and
+// `inverse` is rewritten through the compaction.  `remap` is caller scratch
+// of n_pairs entries; on return it holds old-pair -> new-pair ids.
+// Returns the compacted pair count.
+int64_t black_repair_pairs(int64_t* uniq, int64_t* counts, int64_t n_pairs,
+                           int64_t* inverse, int64_t n_masked,
+                           int64_t* remap) {
+  if (n_pairs <= 0) return n_pairs;
+  int64_t i = 0;
+  while (i < n_pairs) {
+    const int64_t seg = uniq[i] >> 24;
+    int64_t j = i;
+    while (j < n_pairs && (uniq[j] >> 24) == seg) ++j;
+    const bool has_black = (uniq[i] & 0xFFFFFF) == 0;
+    if (has_black && j - i > 1) {
+      int64_t best = i + 1;
+      int64_t best_n2 = INT64_MAX;
+      for (int64_t p = i + 1; p < j; ++p) {
+        const int64_t c = uniq[p] & 0xFFFFFF;
+        const int64_t r = (c >> 16) & 0xFF;
+        const int64_t g = (c >> 8) & 0xFF;
+        const int64_t b = c & 0xFF;
+        const int64_t n2 = r * r + g * g + b * b;
+        if (n2 < best_n2) {
+          best_n2 = n2;
+          best = p;
+        }
+      }
+      remap[i] = best;
+      counts[best] += counts[i];
+      for (int64_t p = i + 1; p < j; ++p) remap[p] = p;
+    } else {
+      for (int64_t p = i; p < j; ++p) remap[p] = p;
+    }
+    i = j;
+  }
+  // Compact kept pairs (remap[p] == p) in place; dropped black pairs sit at
+  // run starts so the write index never passes the read index.
+  std::vector<int64_t> newid(n_pairs);
+  int64_t m = 0;
+  for (int64_t p = 0; p < n_pairs; ++p) {
+    if (remap[p] == p) {
+      newid[p] = m;
+      uniq[m] = uniq[p];
+      counts[m] = counts[p];
+      ++m;
+    }
+  }
+  for (int64_t p = 0; p < n_pairs; ++p) remap[p] = newid[remap[p]];
+  for (int64_t q = 0; q < n_masked; ++q) inverse[q] = remap[inverse[q]];
+  return m;
+}
+
 // Masked color writeback: for the j-th masked pixel (row-major scan order),
 // out[i] = table[idx1 ? idx1[inverse[j]] : inverse[j]].  Replaces the
 // NumPy gather + boolean-scatter chain that dominated the tier writebacks
@@ -1508,6 +1568,33 @@ int64_t pack_sel(const uint8_t* colors, const uint8_t* sel, int64_t n,
     out[m++] = static_cast<int64_t>(key);
   }
   return m;
+}
+
+// Weighted per-cluster mean colors, truncated to uint8 (the tier means,
+// reference clustering.py:305,347).  colors_packed is r<<16|g<<8|b per pair;
+// weights may be null (unweighted).  Accumulation order matches
+// np.bincount's sequential pass so results are bit-identical to the NumPy
+// float64 path.
+void cluster_means_u8(const int64_t* cluster, const int32_t* colors_packed,
+                      const double* weights, int64_t n_pairs,
+                      int64_t n_clusters, uint8_t* out) {
+  std::vector<double> acc(static_cast<size_t>(n_clusters) * 4, 0.0);
+  for (int64_t i = 0; i < n_pairs; ++i) {
+    const double w = weights ? weights[i] : 1.0;
+    const int32_t c = colors_packed[i];
+    double* a = &acc[static_cast<size_t>(cluster[i]) * 4];
+    a[0] += w * ((c >> 16) & 0xFF);
+    a[1] += w * ((c >> 8) & 0xFF);
+    a[2] += w * (c & 0xFF);
+    a[3] += w;
+  }
+  for (int64_t k = 0; k < n_clusters; ++k) {
+    const double* a = &acc[static_cast<size_t>(k) * 4];
+    const double d = a[3] > 0.0 ? a[3] : 1.0;
+    out[3 * k] = static_cast<uint8_t>(a[0] / d);
+    out[3 * k + 1] = static_cast<uint8_t>(a[1] / d);
+    out[3 * k + 2] = static_cast<uint8_t>(a[2] / d);
+  }
 }
 
 // Mean of a float64 value map per label (for density/distance statistics).

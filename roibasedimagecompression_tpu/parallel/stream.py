@@ -60,11 +60,11 @@ def encode_many(
     min_size = cfg.min_region_size(h * w * 3)
 
     # 1. Batched ROI masks, optionally sharded over the mesh's data axis.
-    #    On a single TPU chip the vmapped fused graph is dispatched in chunks:
-    #    B >= 4 reproducibly faults the v5e worker (a runtime kernel fault,
-    #    observed round 1 and again round 2 at B=8), and once the worker dies
-    #    the whole process loses the device — so the crash must be avoided,
-    #    not caught.  RHCCQ_ROI_BATCH overrides the chunk size.
+    #    Rounds 1-2 observed the vmapped fused graph killing the v5e worker
+    #    at B >= 4; re-tested round 3 (scripts/bisect_roi_fault.py) the fault
+    #    no longer reproduces at B=4 or B=8 on the current graph, so the
+    #    chunked dispatch is now just a shape-reuse policy (chunk 8 matches
+    #    the stream batch).  RHCCQ_ROI_BATCH overrides the chunk size.
     if config.single_region:
         roi_masks = np.ones((b, h, w), bool)
         nonroi_masks = np.zeros((b, h, w), bool)
@@ -108,7 +108,7 @@ def encode_many(
         else:
             import os
 
-            default_chunk = 2 if jax.default_backend() == "tpu" else 64
+            default_chunk = 8 if jax.default_backend() == "tpu" else 64
             chunk = int(os.environ.get("RHCCQ_ROI_BATCH", default_chunk))
             with stage_timer("s.roi_masks"):
                 try:

@@ -135,6 +135,59 @@ def test_native_pack_pairs_matches_numpy_oracle():
     assert np.array_equal(counts, c2)
 
 
+def test_native_black_repair_pairs_matches_numpy_oracle():
+    """Native in-place black repair == the NumPy pair-table repair, including
+    the pixel-count folding used by the weighted palette."""
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+
+    rng = np.random.default_rng(4)
+    # Low-entropy colors force black pairs and collisions; segment 2 is
+    # all-black (kept verbatim), segment 3 is empty.
+    img = (rng.integers(0, 4, (60, 70, 3)) * 60).astype(np.uint8)
+    seg = rng.integers(0, 3, (60, 70)).astype(np.int32)
+    seg[50:, :] = np.where(seg[50:, :] > 0, 2, 0)
+    img[50:, :] = 0
+    uniq, inverse, counts = native.pack_pairs(img, seg)
+    uniq_n, inv_n, cnt_n = uniq.copy(), inverse.copy(), counts.copy()
+    m = native.black_repair_pairs(uniq_n, cnt_n, inv_n)
+    assert m is not None
+
+    seg_of_pair = (uniq >> 24).astype(np.int32)
+    color_of_pair = (uniq & 0xFFFFFF).astype(np.int32)
+    seg2, col2, inv2, remap2 = QB._black_repair_pairs(
+        seg_of_pair, color_of_pair, inverse
+    )
+    assert m == len(seg2)
+    assert np.array_equal((uniq_n[:m] >> 24).astype(np.int32), seg2)
+    assert np.array_equal((uniq_n[:m] & 0xFFFFFF).astype(np.int32), col2)
+    assert np.array_equal(inv_n, inv2)
+    folded = np.bincount(remap2, weights=counts.astype(np.float64), minlength=m)
+    assert np.array_equal(cnt_n[:m].astype(np.float64), folded)
+
+
+def test_native_cluster_means_matches_numpy_oracle():
+    rng = np.random.default_rng(5)
+    n_pairs, n_clusters = 4000, 37
+    cluster = rng.integers(0, n_clusters, n_pairs).astype(np.int64)
+    cluster[cluster == 11] = 12  # an empty cluster (guarded divide)
+    packed = rng.integers(0, 1 << 24, n_pairs).astype(np.int32)
+    w = rng.random(n_pairs) * 7.0
+    for weights in (w, None):
+        got = native.cluster_means_u8(cluster, packed, weights, n_clusters)
+        colors = np.stack(
+            [(packed >> 16) & 0xFF, (packed >> 8) & 0xFF, packed & 0xFF], axis=1
+        ).astype(np.float32)
+        wv = weights if weights is not None else np.ones(n_pairs, np.float64)
+        counts = np.bincount(cluster, weights=wv, minlength=n_clusters)
+        means = np.zeros((n_clusters, 3), np.float64)
+        for c in range(3):
+            means[:, c] = np.bincount(
+                cluster, weights=colors[:, c] * wv, minlength=n_clusters
+            )
+        means /= np.maximum(counts, 1.0)[:, None]
+        assert np.array_equal(got, means.astype(np.uint8))
+
+
 def test_native_pack_sel_matches_numpy_oracle():
     rng = np.random.default_rng(2)
     colors = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
