@@ -34,6 +34,9 @@ def _pool() -> concurrent.futures.ThreadPoolExecutor:
 
 def submit(fn, *args, **kwargs) -> concurrent.futures.Future:
     """Run fn(*args, **kwargs) on the shared pool; returns its Future."""
+    from roibasedimagecompression_tpu.utils import warmup
+
+    warmup.record_call(fn, args, kwargs)
     return _pool().submit(fn, *args, **kwargs)
 
 

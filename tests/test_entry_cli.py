@@ -104,6 +104,28 @@ def test_cli_encode_roundtrip(tmp_path, reference_images):
     assert r.returncode == 0, r.stderr
 
 
+def test_warmup_manifest_roundtrip(tmp_path, reference_images):
+    """Recording a small encode yields a replayable manifest: every entry
+    resolves, builds zero args, and executes through prewarm."""
+    import roibasedimagecompression_tpu as rtc
+    from roibasedimagecompression_tpu.io import image_io
+    from roibasedimagecompression_tpu.utils import warmup
+
+    warmup.enable_recording()
+    img = image_io.imread_rgb(f"{reference_images}/png/Lenna.png")[:128, :128]
+    rtc.encode(img, rtc.CodecConfig())
+    path = str(tmp_path / "manifest.json")
+    n = warmup.save(path)
+    assert n >= 3  # score + slic + eps-CC graphs at minimum
+    entries = json.load(open(path))
+    for e in entries:
+        assert warmup._resolve(e["fn"]) is not None
+    futs = warmup.prewarm(path, block=True)
+    assert len(futs) == n
+    for f in futs:
+        f.result()  # raises if any replay failed
+
+
 def test_cli_bad_command():
     r = _run_cli(["frobnicate"])
     assert r.returncode != 0
