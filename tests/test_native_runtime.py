@@ -165,6 +165,34 @@ def test_native_black_repair_pairs_matches_numpy_oracle():
     assert np.array_equal(cnt_n[:m].astype(np.float64), folded)
 
 
+def test_native_component_stats_matches_numpy_oracle():
+    from roibasedimagecompression_tpu.ops import cc as CC
+
+    rng = np.random.default_rng(6)
+    labels = rng.integers(0, 9, (45, 67)).astype(np.int32)
+    labels[labels == 5] = 4  # an absent label (zeroed bbox row)
+    num = 9
+    got = native.component_stats(labels, num)
+    assert got is not None
+    areas, bboxes = got
+    flat = labels.ravel()
+    want_areas = np.bincount(flat, minlength=num)
+    h, w = labels.shape
+    rows = np.repeat(np.arange(h), w)
+    cols = np.tile(np.arange(w), h)
+    minr = np.full(num, h, np.int64); maxr = np.zeros(num, np.int64)
+    minc = np.full(num, w, np.int64); maxc = np.zeros(num, np.int64)
+    np.minimum.at(minr, flat, rows); np.maximum.at(maxr, flat, rows)
+    np.minimum.at(minc, flat, cols); np.maximum.at(maxc, flat, cols)
+    want_bb = np.stack([minr, minc, maxr + 1, maxc + 1], axis=1).astype(np.int32)
+    want_bb[want_areas == 0] = 0
+    assert np.array_equal(areas, want_areas)
+    assert np.array_equal(bboxes, want_bb)
+    st = CC.component_stats(labels, num)
+    assert np.array_equal(st.areas, want_areas)
+    assert np.array_equal(st.bboxes, want_bb)
+
+
 def test_native_cluster_means_matches_numpy_oracle():
     rng = np.random.default_rng(5)
     n_pairs, n_clusters = 4000, 37
