@@ -186,6 +186,17 @@ class CodecConfig:
     # on Kodak index matrices: ld-10 beats zlib-9 on size (-5.4%) at equal
     # host cost; ld-7 is 5x faster at +0.9% size.
     container_level: int = 10
+    # Oversized-cluster splitting method.  "kmeans" mirrors the reference's
+    # recursive KMeans split (clustering.py:720-775).  "mediancut" is a
+    # vectorized host median-cut (recursive binary PCA cuts per cluster — the
+    # spiritual upgrade of the reference's luminance-sort fallback,
+    # clustering.py:778-801) with ZERO device round trips, vs. hundreds of
+    # bucketed k-means launches per batch.  Both satisfy the
+    # max_colors_per_cluster law; mediancut stops at ~the minimal cluster
+    # count while the k-means recursion overshoots, so mediancut lands at a
+    # lower-rate R-D point for the same quality knob (measured on 128px
+    # Lenna: 29.1 dB @ 3.75 bpp / 32 colors vs 33.7 dB @ 5.34 bpp / 100).
+    split_method: str = "kmeans"
 
     @property
     def roi_tier2_quality(self) -> float:

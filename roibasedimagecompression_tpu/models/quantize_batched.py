@@ -289,6 +289,7 @@ def tier1_colors(
     seed: int = 42,
     weighted: bool = True,
     mesh=None,
+    split_method: str = "kmeans",
 ) -> np.ndarray:
     """Per-pixel tier-1 quantized colors for the whole image in one pass.
 
@@ -301,7 +302,7 @@ def tier1_colors(
     """
     table = tier1_table(
         image_rgb, seg_map, seg_quality, seed=seed, weighted=weighted,
-        mesh=mesh,
+        mesh=mesh, split_method=split_method,
     )
     out = np.zeros_like(image_rgb)
     if table is None:
@@ -326,6 +327,7 @@ def tier1_table(
     seed: int = 42,
     weighted: bool = True,
     mesh=None,
+    split_method: str = "kmeans",
 ) -> dict | None:
     """Tier-1 clustering as a pair/cluster TABLE (no canvas paint).
 
@@ -458,7 +460,8 @@ def tier1_table(
     with stage_timer("t1.split"):
         pair_max_colors = np.repeat(max_colors, sizes)  # per pair, via run layout
         cluster_of_pair, next_cluster = _split_oversized_batched(
-            colors, cluster_of_pair, pair_max_colors, next_cluster, seed, mesh=mesh
+            colors, cluster_of_pair, pair_max_colors, next_cluster, seed,
+            mesh=mesh, method=split_method,
         )
 
     # ---- cluster mean colors (truncated uint8, clustering.py:305,347) ----
@@ -522,6 +525,7 @@ def cluster_color_maps_many(
     weighted: bool = True,
     mesh=None,
     out_list: list | None = None,
+    split_method: str = "kmeans",
 ) -> list:
     """Batched tier-2/3 color-map clustering across MANY problems.
 
@@ -584,7 +588,7 @@ def cluster_color_maps_many(
 
     pair_colors = cluster_pair_table(
         uniq, pair_pixel_counts if weighted else None, quality_list,
-        seed=seed, mesh=mesh,
+        seed=seed, mesh=mesh, split_method=split_method,
     )
 
     if out_list is not None:
@@ -618,6 +622,7 @@ def cluster_pair_table(
     *,
     seed: int = 42,
     mesh=None,
+    split_method: str = "kmeans",
 ) -> np.ndarray:
     """Cluster a pooled, already-deduped (problem, color) pair table.
 
@@ -723,7 +728,8 @@ def cluster_pair_table(
     with stage_timer("t23.split"):
         pair_limits = np.repeat(max_colors, sizes)
         cluster_of_pair, next_cluster = _split_oversized_batched(
-            colors, cluster_of_pair, pair_limits, next_cluster, seed, mesh=mesh
+            colors, cluster_of_pair, pair_limits, next_cluster, seed,
+            mesh=mesh, method=split_method,
         )
 
     # ---- cluster mean colors (truncated uint8, clustering.py:305,347) ------
@@ -750,15 +756,101 @@ def cluster_pair_table(
     return pair_colors
 
 
-def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors, next_cluster, seed, mesh=None):
+def _split_oversized_mediancut(colors, cluster_of_pair, pair_max_colors,
+                               next_cluster):
+    """Split oversized clusters by recursive median cut — zero device calls.
+
+    Level-synchronous binary PCA cuts: every oversized cluster projects onto
+    its OWN principal axis (vectorized power iteration on the per-cluster
+    3x3 covariances) and splits at the median; children above their limit
+    split again next level.  This is the classic median-cut palette
+    quantizer generalized to per-cluster axes — the spiritual upgrade of the
+    reference's luminance-sort split fallback (clustering.py:778-801), which
+    chunks along fixed luminance (measured 7 dB worse when the split is the
+    dominant quantizer, as it is at low quality where eps-CC lumps the whole
+    palette into one cluster).
+
+    Sizes halve per level, so the max_colors_per_cluster law is reached in
+    ceil(log2(n/max)) levels (clusters of size <= 2 are never split,
+    matching the k-means path's guard).  Cluster means are recomputed from
+    the split labels afterwards, exactly as in the k-means path.
+    """
+    lum_axis = np.array([0.299, 0.587, 0.114])
+    active = None  # None = all positions (level 0)
+    any_split = False
+    for _level in range(40):  # sizes halve per level: 2^40 rows is unreachable
+        if active is None:
+            order = native.argsort_i64(cluster_of_pair)
+        else:
+            if len(active) == 0:
+                break
+            order = active[native.argsort_i64(cluster_of_pair[active])]
+        _, starts, sizes = _runs_of_sorted(cluster_of_pair[order])
+        limits = pair_max_colors[order[starts]]
+        oversized = np.flatnonzero((sizes > limits) & (sizes > 2))
+        if len(oversized) == 0:
+            break
+        any_split = True
+        n = sizes[oversized].astype(np.int64)
+        flat_pos, flat_row, _ = _flat_run_positions(
+            starts[oversized], sizes[oversized]
+        )
+        pos = order[flat_pos]
+        pts = colors[pos].astype(np.float64)
+
+        m = len(n)
+        sums = np.zeros((m, 3))
+        np.add.at(sums, flat_row, pts)
+        mu = sums / n[:, None]
+        d = pts - mu[flat_row]
+        cov = np.zeros((m, 3, 3))
+        np.add.at(cov, flat_row, d[:, :, None] * d[:, None, :])
+        v = np.full((m, 3), 0.577350269)
+        for _ in range(12):
+            v = np.einsum("mij,mj->mi", cov, v)
+            nv = np.linalg.norm(v, axis=1, keepdims=True)
+            small = nv[:, 0] < 1e-12
+            if small.any():
+                v[small] = lum_axis  # degenerate cluster: luma axis
+                nv[small] = 1.0
+            v /= nv
+        proj = np.einsum("ij,ij->i", d, v[flat_row])
+
+        sidx = np.lexsort((proj, flat_row))  # stable: ties keep color order
+        off = np.zeros(m, np.int64)
+        np.cumsum(n[:-1], out=off[1:])
+        rank = np.empty(len(pos), np.int64)
+        rank[sidx] = np.arange(len(pos), dtype=np.int64) - np.repeat(off, n)
+        child = rank >= (n[flat_row] + 1) // 2  # median cut, left = ceil(n/2)
+        cluster_of_pair[pos] = next_cluster + flat_row * 2 + child
+        next_cluster += 2 * m
+        active = pos  # only just-split children can still be oversized
+    if any_split:
+        _, cluster_of_pair = _unique_inverse(cluster_of_pair)
+        next_cluster = int(cluster_of_pair.max()) + 1
+    return cluster_of_pair, next_cluster
+
+
+def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
+                             next_cluster, seed, mesh=None, method="kmeans"):
     """Split clusters above their per-segment max size with batched k-means.
 
     Mirrors split_large_cluster recursion (clustering.py:720-775) but level-
     synchronously: each level gathers ALL oversized clusters image-wide,
     buckets them by size, and runs one vmapped k-means per bucket.  All host
     bookkeeping is vectorized (key assignment + one np.unique per level).
+
+    method="mediancut" (or RHCCQ_SPLIT_METHOD=mediancut overriding it) swaps
+    in the zero-launch luminance-chunk split (_split_oversized_mediancut).
     """
-    from roibasedimagecompression_tpu import native
+    import os as _os
+
+    method = _os.environ.get("RHCCQ_SPLIT_METHOD") or method
+    if method == "mediancut":
+        with stage_timer("split.lum"):
+            return _split_oversized_mediancut(
+                colors, cluster_of_pair, pair_max_colors, next_cluster
+            )
 
     # Active-subset recursion: after level 0, only pairs whose cluster was
     # just split can still be oversized (clusters never grow), so each level

@@ -180,6 +180,7 @@ def encode_many(
         table = QB.tier1_table(
             tall_img, tall_seg, seg_quality, seed=config.seed,
             weighted=config.weighted_palette, mesh=mesh,
+            split_method=config.split_method,
         )
 
     import os as _os

@@ -139,6 +139,44 @@ def test_tier1_respects_max_colors_law():
     assert n_out < n_in
 
 
+def test_mediancut_split_respects_max_colors_law():
+    """split_method='mediancut' satisfies the max_colors_per_cluster law:
+    recursive binary PCA cuts halve every oversized cluster until all are
+    within their limit (clusters of size <= 2 are never split, matching the
+    k-means path's guard)."""
+    from roibasedimagecompression_tpu.config import clustering_params
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(100, 140, (32, 32, 3)).astype(np.uint8)
+    seg = np.ones((32, 32), np.int32)
+    seg[16:, :] = 2
+    qual = np.array([0.0, 20.0, 35.0])
+    table = QB.tier1_table(img, seg, qual, split_method="mediancut")
+    seg_of_pair, cop = table["seg_of_pair"], table["cluster_of_pair"]
+    for s in (1, 2):
+        selp = seg_of_pair == s
+        params = clustering_params(int(selp.sum()) + 1, float(qual[s]))
+        sizes = np.bincount(cop[selp], minlength=int(cop.max()) + 1)
+        assert sizes.max() <= max(params.max_colors_per_cluster, 2)
+
+
+def test_mediancut_split_encode_roundtrip(lenna128):
+    """Full encode with the median-cut split: deterministic, within its
+    measured R-D corridor (a LOWER-rate operating point than the k-means
+    split — see CodecConfig.split_method), and batched == single."""
+    from roibasedimagecompression_tpu.parallel import stream
+
+    c = rtc.CodecConfig(split_method="mediancut")
+    d1 = rtc.encode(lenna128, c)
+    assert d1 == rtc.encode(lenna128, c)
+    q = M.quality_metrics(lenna128, rtc.decode(d1))
+    bpp = len(d1) * 8 / (128 * 128)
+    assert q["psnr"] > 28.0, (q["psnr"], bpp)
+    assert bpp < 4.5, (q["psnr"], bpp)
+    assert stream.encode_many([lenna128], c) == [d1]
+
+
 def test_fused_roi_matches_modular(lenna128):
     """The single-graph ROI pipeline must reproduce the stage-by-stage host
     version exactly."""
