@@ -194,6 +194,32 @@ def _kmeans_gather(
     return jax.vmap(one)(starts, sizes, ks).astype(dt)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cap", "k_max", "iters", "chunk")
+)
+def _kmeans_gather_init(
+    colors_dev, order_dev, starts, sizes, ks, inits, *, cap, k_max, iters,
+    chunk,
+):
+    """_kmeans_gather with explicit per-row init centers (b, k_max, 3) —
+    skips the SEQUENTIAL k-means++ init (k_max serial distance passes per
+    kernel) in favor of host-computed PCA-chunk means."""
+    pos = jnp.arange(cap)
+
+    def one(s0, sz, k, init):
+        v = pos < sz
+        idx = order_dev[jnp.where(v, s0 + pos, 0)]
+        pts = jnp.where(v[:, None], colors_dev[idx], 0.0)
+        labels, _ = CL.kmeans(
+            pts, v, k, k_max=k_max, iters=iters, chunk=chunk,
+            plusplus=False, init_centers=init,
+        )
+        return labels
+
+    dt = jnp.uint8 if k_max <= 256 else jnp.uint16
+    return jax.vmap(one)(starts, sizes, ks, inits).astype(dt)
+
+
 def _pow2(n: int, minimum: int = 1024) -> int:
     p = minimum
     while p < n:
@@ -756,6 +782,67 @@ def cluster_pair_table(
     return pair_colors
 
 
+def _pca_chunk_ranks(colors, order, starts, sizes, oversized):
+    """(pos, flat_row, rank, n): within-cluster ranks of every point of the
+    oversized clusters along each cluster's OWN principal axis.
+
+    Vectorized across all clusters: per-cluster 3x3 covariances by
+    np.add.at, principal axes by 12 rounds of batched power iteration
+    (BT.601 luma fallback for degenerate clusters), one global lexsort for
+    the within-cluster ranks.  Shared by the median-cut split (binary cuts
+    at the median rank) and the k-means-mc init (k-way chunk means).
+    """
+    n = sizes[oversized].astype(np.int64)
+    flat_pos, flat_row, _ = _flat_run_positions(
+        starts[oversized], sizes[oversized]
+    )
+    pos = order[flat_pos]
+    pts = colors[pos].astype(np.float64)
+
+    m = len(n)
+    sums = np.zeros((m, 3))
+    np.add.at(sums, flat_row, pts)
+    mu = sums / n[:, None]
+    d = pts - mu[flat_row]
+    cov = np.zeros((m, 3, 3))
+    np.add.at(cov, flat_row, d[:, :, None] * d[:, None, :])
+    v = np.full((m, 3), 0.577350269)
+    for _ in range(12):
+        v = np.einsum("mij,mj->mi", cov, v)
+        nv = np.linalg.norm(v, axis=1, keepdims=True)
+        small = nv[:, 0] < 1e-12
+        if small.any():
+            v[small] = [0.299, 0.587, 0.114]  # degenerate cluster: luma axis
+            nv[small] = 1.0
+        v /= nv
+    proj = np.einsum("ij,ij->i", d, v[flat_row])
+
+    sidx = np.lexsort((proj, flat_row))  # stable: ties keep color order
+    off = np.zeros(m, np.int64)
+    np.cumsum(n[:-1], out=off[1:])
+    rank = np.empty(len(pos), np.int64)
+    rank[sidx] = np.arange(len(pos), dtype=np.int64) - np.repeat(off, n)
+    return pos, flat_row, rank, n
+
+
+def _pca_chunk_init_means(colors, pos, flat_row, rank, n, ks, k_max):
+    """(m, k_max, 3) float32 stratified init centers for the split k-means:
+    the ACTUAL point at the center rank of each k-way PCA chunk (rows >=
+    ks[i] stay zero; they are masked by center_valid in the kernel).
+
+    Picking real points (like k-means++) rather than chunk means preserves
+    isolated outlier colors — chunk-mean init measured ~0.4 dB worse."""
+    m = len(n)
+    chunk = rank * ks[flat_row] // n[flat_row]
+    # Center rank of chunk c: floor((c + 0.5) * n / k).
+    target = (2 * chunk + 1) * n[flat_row] // (2 * ks[flat_row])
+    is_center = rank == target
+    key = flat_row * k_max + chunk
+    inits = np.zeros((m * k_max, 3), np.float32)
+    inits[key[is_center]] = colors[pos[is_center]]
+    return inits.reshape(m, k_max, 3)
+
+
 def _split_oversized_mediancut(colors, cluster_of_pair, pair_max_colors,
                                next_cluster):
     """Split oversized clusters by recursive median cut — zero device calls.
@@ -775,7 +862,6 @@ def _split_oversized_mediancut(colors, cluster_of_pair, pair_max_colors,
     matching the k-means path's guard).  Cluster means are recomputed from
     the split labels afterwards, exactly as in the k-means path.
     """
-    lum_axis = np.array([0.299, 0.587, 0.114])
     active = None  # None = all positions (level 0)
     any_split = False
     for _level in range(40):  # sizes halve per level: 2^40 rows is unreachable
@@ -791,36 +877,10 @@ def _split_oversized_mediancut(colors, cluster_of_pair, pair_max_colors,
         if len(oversized) == 0:
             break
         any_split = True
-        n = sizes[oversized].astype(np.int64)
-        flat_pos, flat_row, _ = _flat_run_positions(
-            starts[oversized], sizes[oversized]
+        pos, flat_row, rank, n = _pca_chunk_ranks(
+            colors, order, starts, sizes, oversized
         )
-        pos = order[flat_pos]
-        pts = colors[pos].astype(np.float64)
-
         m = len(n)
-        sums = np.zeros((m, 3))
-        np.add.at(sums, flat_row, pts)
-        mu = sums / n[:, None]
-        d = pts - mu[flat_row]
-        cov = np.zeros((m, 3, 3))
-        np.add.at(cov, flat_row, d[:, :, None] * d[:, None, :])
-        v = np.full((m, 3), 0.577350269)
-        for _ in range(12):
-            v = np.einsum("mij,mj->mi", cov, v)
-            nv = np.linalg.norm(v, axis=1, keepdims=True)
-            small = nv[:, 0] < 1e-12
-            if small.any():
-                v[small] = lum_axis  # degenerate cluster: luma axis
-                nv[small] = 1.0
-            v /= nv
-        proj = np.einsum("ij,ij->i", d, v[flat_row])
-
-        sidx = np.lexsort((proj, flat_row))  # stable: ties keep color order
-        off = np.zeros(m, np.int64)
-        np.cumsum(n[:-1], out=off[1:])
-        rank = np.empty(len(pos), np.int64)
-        rank[sidx] = np.arange(len(pos), dtype=np.int64) - np.repeat(off, n)
         child = rank >= (n[flat_row] + 1) // 2  # median cut, left = ceil(n/2)
         cluster_of_pair[pos] = next_cluster + flat_row * 2 + child
         next_cluster += 2 * m
@@ -841,7 +901,10 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
     bookkeeping is vectorized (key assignment + one np.unique per level).
 
     method="mediancut" (or RHCCQ_SPLIT_METHOD=mediancut overriding it) swaps
-    in the zero-launch luminance-chunk split (_split_oversized_mediancut).
+    in the zero-launch median-cut split (_split_oversized_mediancut);
+    method="kmeans-mc" keeps the device Lloyd iterations but replaces the
+    SEQUENTIAL in-kernel k-means++ init (k_max serial distance passes) with
+    host-computed PCA-chunk means (_pca_chunk_init_means).
     """
     import os as _os
 
@@ -883,6 +946,17 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
         n = sizes[oversized]
         lim = np.maximum(limits[oversized], 1)
         ks = np.minimum(np.maximum(2, -(-n // lim)), n)
+
+        inits = None
+        if method == "kmeans-mc":
+            pos_mc, row_mc, rank_mc, n_mc = _pca_chunk_ranks(
+                colors, order, starts, sizes, oversized
+            )
+            k_max_all = _pad_kmax(int(ks.max()))
+            inits = _pca_chunk_init_means(
+                colors, pos_mc, row_mc, rank_mc, n_mc,
+                ks.astype(np.int64), k_max_all,
+            )
 
         key_base = np.int64(next_cluster)
         # NOTE: merging the small caps (64+256 -> 256) to save launches was
@@ -940,6 +1014,21 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
                 sizes_b[: len(ids)] = sizes[ids]
                 ks_b = np.ones(b, np.int32)
                 ks_b[: len(ids)] = ks[rows]
+                if inits is not None:
+                    inits_b = np.zeros((b, k_max, 3), np.float32)
+                    inits_b[: len(ids)] = inits[rows][:, :k_max]
+                    result = DISPATCH.submit(
+                        _kmeans_gather_init,
+                        colors_dev, order_dev,
+                        SHARD.shard_rows(starts_b, mesh),
+                        SHARD.shard_rows(sizes_b, mesh),
+                        SHARD.shard_rows(ks_b, mesh),
+                        SHARD.shard_rows(inits_b, mesh),
+                        cap=cap, k_max=int(k_max), iters=10,
+                        chunk=min(2048, cap),
+                    )
+                    pending.append((ids, starts[ids], sizes[ids], k_max, result))
+                    continue
                 result = DISPATCH.submit(
                     _kmeans_gather,
                     colors_dev, order_dev,

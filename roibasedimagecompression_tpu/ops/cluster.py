@@ -134,12 +134,18 @@ def kmeans(
     seed: int = 42,
     chunk: int = 2048,
     plusplus: bool = True,
+    init_centers: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Lloyd k-means with k-means++ (or seeded-random) init, padded shapes.
 
     Args:
       points: (n, d) float32 padded; valid: (n,) bool; k: dynamic cluster count
         (<= k_max, static padding bound).
+      init_centers: optional (k_max, d) explicit initial centers (rows >= k
+        are masked by center_valid); skips the ++/random init entirely —
+        the ++ init is SEQUENTIAL in k_max and dominates the split kernels'
+        device latency, so callers with a cheap stratified host init
+        (PCA-chunk means) pass it here.
     Returns:
       (labels (n,) int32 in [0, k), centers (k_max, d) float32).
     Replaces sklearn KMeans/MiniBatchKMeans at clustering.py:211,751 — the
@@ -159,7 +165,9 @@ def kmeans(
 
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
-    if plusplus:
+    if init_centers is not None:
+        centers = init_centers.astype(jnp.float32)
+    elif plusplus:
         # k-means++: first center sampled uniformly, the rest proportional to
         # the squared distance to the nearest chosen center.
         def init_step(i, state):
