@@ -89,6 +89,24 @@ def test_kmeans_partition_quality(rng):
     assert ours <= theirs * 1.25  # within 25% of sklearn inertia
 
 
+def test_kmeans_init_centers_respected(rng):
+    """With explicit init_centers and iters=0, labels are exactly the
+    nearest-init-center assignment (masked by center_valid)."""
+    import jax.numpy as jnp
+
+    pts = rng.uniform(0, 255, (64, 3)).astype(np.float32)
+    inits = np.zeros((8, 3), np.float32)
+    inits[:3] = [[0, 0, 0], [128, 128, 128], [255, 255, 255]]
+    labels, centers = C.kmeans(
+        jnp.asarray(pts), jnp.ones(64, bool), 3, k_max=8, iters=0,
+        chunk=64, init_centers=jnp.asarray(inits),
+    )
+    want = np.argmin(
+        ((pts[:, None, :] - inits[None, :3, :]) ** 2).sum(-1), axis=1
+    )
+    np.testing.assert_array_equal(np.asarray(labels), want)
+
+
 def test_kmeans_k_larger_than_points():
     pts = np.array([[0, 0, 0], [255, 255, 255]], np.float32)
     labels = C.kmeans_host(pts, 5)
