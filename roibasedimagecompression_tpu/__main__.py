@@ -33,6 +33,8 @@ def _cmd_encode(args):
         roi_quality=args.roi_quality,
         nonroi_quality=args.nonroi_quality,
         single_region=args.single_region,
+        split_method=args.split_method,
+        container_level=args.container_level,
     )
     t0 = time.perf_counter()
     data = encode(np.asarray(img), cfg)
@@ -121,6 +123,18 @@ def main(argv=None):
     p.add_argument("--nonroi-quality", type=float, default=10.0)
     p.add_argument("--single-region", action="store_true")
     p.add_argument("--enhance-shadows", action="store_true")
+    p.add_argument(
+        "--split-method", default="kmeans",
+        choices=["kmeans", "kmeans-mc", "mediancut"],
+        help="oversized-cluster split: kmeans (reference law, best R-D), "
+        "kmeans-mc (stratified init, faster), mediancut (fastest, lower-rate "
+        "R-D point; see RD_SPLIT_METHODS.json)",
+    )
+    p.add_argument(
+        "--container-level", type=int, default=10,
+        help="entropy stage: 0 = byte-compat zlib-9, 1-12 = libdeflate "
+        "(7 is ~5x faster than 10 at +5%% size)",
+    )
     p.set_defaults(fn=_cmd_encode)
 
     p = sub.add_parser("decode", help=".rhccq -> image file")
