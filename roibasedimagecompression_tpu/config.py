@@ -198,6 +198,23 @@ class CodecConfig:
     # Lenna: 29.1 dB @ 3.75 bpp / 32 colors vs 33.7 dB @ 5.34 bpp / 100).
     split_method: str = "kmeans"
 
+    @classmethod
+    def low_latency(cls, **overrides) -> "CodecConfig":
+        """Interactive preset: minimize serial device round trips per image.
+
+        fast_edges skips the 20-candidate Canny sweep (the reference's own
+        fast mode, edges.py:210-299); split_method="mediancut" removes every
+        oversized-split device launch (a lower-rate R-D operating point —
+        RD_SPLIT_METHODS.json); container_level=7 is ~5x faster entropy
+        coding at +5% file size.  Quality-critical work (eps-CC clustering,
+        SLIC, split score) is untouched.
+        """
+        base = dict(
+            fast_edges=True, split_method="mediancut", container_level=7
+        )
+        base.update(overrides)
+        return cls(**base)
+
     @property
     def roi_tier2_quality(self) -> float:
         return tier2_quality(self.roi_quality)

@@ -177,6 +177,18 @@ def test_mediancut_split_encode_roundtrip(lenna128):
     assert stream.encode_many([lenna128], c) == [d1]
 
 
+def test_low_latency_preset_roundtrip(lenna128):
+    """CodecConfig.low_latency(): decodable output, deterministic, within
+    the fast-mode R-D corridor; overrides pass through."""
+    c = rtc.CodecConfig.low_latency()
+    assert c.fast_edges and c.split_method == "mediancut"
+    assert rtc.CodecConfig.low_latency(roi_quality=40.0).roi_quality == 40.0
+    d = rtc.encode(lenna128, c)
+    assert d == rtc.encode(lenna128, c)
+    q = M.quality_metrics(lenna128, rtc.decode(d))
+    assert q["psnr"] > 27.0, q["psnr"]
+
+
 def test_fused_roi_matches_modular(lenna128):
     """The single-graph ROI pipeline must reproduce the stage-by-stage host
     version exactly."""
