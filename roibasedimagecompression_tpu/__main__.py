@@ -34,6 +34,7 @@ def _cmd_encode(args):
         nonroi_quality=args.nonroi_quality,
         single_region=args.single_region,
         split_method=args.split_method,
+        split_margin=args.split_margin,
         container_level=args.container_level,
     )
     t0 = time.perf_counter()
@@ -129,6 +130,12 @@ def main(argv=None):
         help="oversized-cluster split: kmeans (reference law, best R-D), "
         "kmeans-mc (stratified init, faster), mediancut (fastest, lower-rate "
         "R-D point; see RD_SPLIT_METHODS.json)",
+    )
+    p.add_argument(
+        "--split-margin", type=float, default=1.5,
+        help="over-provision the split cluster count by this factor (MAX-law "
+        "compliant; >1 improves R-D and cuts split recursion depth — see "
+        "RD_SPLIT_METHODS.json)",
     )
     p.add_argument(
         "--container-level", type=int, default=10,

@@ -197,20 +197,32 @@ class CodecConfig:
     # lower-rate R-D point for the same quality knob (measured on 128px
     # Lenna: 29.1 dB @ 3.75 bpp / 32 colors vs 33.7 dB @ 5.34 bpp / 100).
     split_method: str = "kmeans"
+    # Over-provisioning factor for the split cluster count:
+    # k = min(max(2, ceil(n*margin / max_colors)), n).  max_colors_per_cluster
+    # is a MAX constraint, so margin > 1 never violates the law — it feeds
+    # the unevenness of k-means children forward instead of re-splitting them
+    # level by level.  Measured (full-res Kodak x6, CPU): margin 2-3 sits
+    # +0.7-1.0 dB ABOVE the margin-1 R-D curve at matched rate AND cuts the
+    # split recursion to ~1-2 levels (fewer serial device waves, faster).
+    # Env override: RHCCQ_SPLIT_MARGIN.  Default 1.5: +0.54 dB at +0.4% bpp
+    # vs margin 1 at the standard preset (full-res measurement above).
+    split_margin: float = 1.5
 
     @classmethod
     def low_latency(cls, **overrides) -> "CodecConfig":
         """Interactive preset: minimize serial device round trips per image.
 
         fast_edges skips the 20-candidate Canny sweep (the reference's own
-        fast mode, edges.py:210-299); split_method="mediancut" removes every
-        oversized-split device launch (a lower-rate R-D operating point —
-        RD_SPLIT_METHODS.json); container_level=7 is ~5x faster entropy
-        coding at +5% file size.  Quality-critical work (eps-CC clustering,
-        SLIC, split score) is untouched.
+        fast mode, edges.py:210-299); split_margin=3.0 collapses the split
+        recursion to ~1-2 levels of serial device waves while sitting ABOVE
+        the default R-D curve (RD_SPLIT_METHODS.json; mediancut would remove
+        the remaining waves entirely but costs several dB at this rate);
+        container_level=7 is ~5x faster entropy coding at +5% file size.
+        Quality-critical work (eps-CC clustering, SLIC, split score) is
+        untouched.
         """
         base = dict(
-            fast_edges=True, split_method="mediancut", container_level=7
+            fast_edges=True, split_margin=3.0, container_level=7
         )
         base.update(overrides)
         return cls(**base)

@@ -276,6 +276,7 @@ def tiers23_colors_many(t1_list: list, group_map_list: list, config: cfg.CodecCo
             weighted=config.weighted_palette, mesh=mesh,
             out_list=[t2_list[k] for k in owner],
             split_method=config.split_method,
+            split_margin=config.split_margin,
         )
 
     # ---- optional black-hole fill before tier 3 (image.py:259 call point) ---
@@ -305,7 +306,7 @@ def tiers23_colors_many(t1_list: list, group_map_list: list, config: cfg.CodecCo
             colors_in, sels, [config.image_quality] * len(colors_in),
             seed=config.seed, weighted=config.weighted_palette, mesh=mesh,
             out_list=[t3_list[k] for k in owner],
-            split_method=config.split_method,
+            split_method=config.split_method, split_margin=config.split_margin,
         )
     return t2_list, t3_list
 
@@ -378,6 +379,7 @@ def tiers23_palette_indices(
     out2 = QB.cluster_pair_table(
         uniq2, w2 if config.weighted_palette else None, qual2,
         seed=config.seed, mesh=mesh, split_method=config.split_method,
+        split_margin=config.split_margin,
     )
     with stage_timer("t23.compose"):
         c2_packed = (
@@ -392,7 +394,7 @@ def tiers23_palette_indices(
     out3 = QB.cluster_pair_table(
         uniq3, w3 if config.weighted_palette else None,
         [config.image_quality] * b, seed=config.seed, mesh=mesh,
-        split_method=config.split_method,
+        split_method=config.split_method, split_margin=config.split_margin,
     )
     with stage_timer("t23.compose"):
         c3_packed = (
@@ -513,6 +515,7 @@ def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
             image_rgb, seg_map, seg_quality, seed=config.seed,
             weighted=config.weighted_palette,
             split_method=config.split_method,
+            split_margin=config.split_margin,
         )
 
     import os as _os
@@ -589,6 +592,7 @@ def encode_debug(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -
     t1 = QB.tier1_colors(
         image_rgb, seg_map, seg_quality, seed=config.seed,
         weighted=config.weighted_palette, split_method=config.split_method,
+        split_margin=config.split_margin,
     )
     group_map = np.where(seg_map > 0, seg_group[seg_map], 0)
     t2_list, t3_list = tiers23_colors_many([t1], [group_map], config)

@@ -316,6 +316,7 @@ def tier1_colors(
     weighted: bool = True,
     mesh=None,
     split_method: str = "kmeans",
+    split_margin: float = 1.0,
 ) -> np.ndarray:
     """Per-pixel tier-1 quantized colors for the whole image in one pass.
 
@@ -328,7 +329,7 @@ def tier1_colors(
     """
     table = tier1_table(
         image_rgb, seg_map, seg_quality, seed=seed, weighted=weighted,
-        mesh=mesh, split_method=split_method,
+        mesh=mesh, split_method=split_method, split_margin=split_margin,
     )
     out = np.zeros_like(image_rgb)
     if table is None:
@@ -354,6 +355,7 @@ def tier1_table(
     weighted: bool = True,
     mesh=None,
     split_method: str = "kmeans",
+    split_margin: float = 1.0,
 ) -> dict | None:
     """Tier-1 clustering as a pair/cluster TABLE (no canvas paint).
 
@@ -487,7 +489,7 @@ def tier1_table(
         pair_max_colors = np.repeat(max_colors, sizes)  # per pair, via run layout
         cluster_of_pair, next_cluster = _split_oversized_batched(
             colors, cluster_of_pair, pair_max_colors, next_cluster, seed,
-            mesh=mesh, method=split_method,
+            mesh=mesh, method=split_method, margin=split_margin,
         )
 
     # ---- cluster mean colors (truncated uint8, clustering.py:305,347) ----
@@ -552,6 +554,7 @@ def cluster_color_maps_many(
     mesh=None,
     out_list: list | None = None,
     split_method: str = "kmeans",
+    split_margin: float = 1.0,
 ) -> list:
     """Batched tier-2/3 color-map clustering across MANY problems.
 
@@ -615,6 +618,7 @@ def cluster_color_maps_many(
     pair_colors = cluster_pair_table(
         uniq, pair_pixel_counts if weighted else None, quality_list,
         seed=seed, mesh=mesh, split_method=split_method,
+        split_margin=split_margin,
     )
 
     if out_list is not None:
@@ -649,6 +653,7 @@ def cluster_pair_table(
     seed: int = 42,
     mesh=None,
     split_method: str = "kmeans",
+    split_margin: float = 1.0,
 ) -> np.ndarray:
     """Cluster a pooled, already-deduped (problem, color) pair table.
 
@@ -755,7 +760,7 @@ def cluster_pair_table(
         pair_limits = np.repeat(max_colors, sizes)
         cluster_of_pair, next_cluster = _split_oversized_batched(
             colors, cluster_of_pair, pair_limits, next_cluster, seed,
-            mesh=mesh, method=split_method,
+            mesh=mesh, method=split_method, margin=split_margin,
         )
 
     # ---- cluster mean colors (truncated uint8, clustering.py:305,347) ------
@@ -892,7 +897,8 @@ def _split_oversized_mediancut(colors, cluster_of_pair, pair_max_colors,
 
 
 def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
-                             next_cluster, seed, mesh=None, method="kmeans"):
+                             next_cluster, seed, mesh=None, method="kmeans",
+                             margin=1.0):
     """Split clusters above their per-segment max size with batched k-means.
 
     Mirrors split_large_cluster recursion (clustering.py:720-775) but level-
@@ -942,10 +948,15 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
         any_split = True
         next_active = []
 
-        # n_splits law: min(max(2, ceil(n/max)), n).
+        # n_splits law: min(max(2, ceil(n/max)), n).  RHCCQ_SPLIT_MARGIN
+        # over-provisions k by that factor (max_colors_per_cluster is a MAX
+        # constraint, so more clusters never violate it): k-means children
+        # are uneven, so the minimal k re-splits ~half the mass for 2-3 more
+        # levels — each level is a serial device round-trip wave.
         n = sizes[oversized]
         lim = np.maximum(limits[oversized], 1)
-        ks = np.minimum(np.maximum(2, -(-n // lim)), n)
+        m_eff = float(_os.environ.get("RHCCQ_SPLIT_MARGIN") or margin)
+        ks = np.minimum(np.maximum(2, -(-(n * m_eff).astype(np.int64) // lim)), n)
 
         inits = None
         if method == "kmeans-mc":

@@ -181,6 +181,7 @@ def encode_many(
             tall_img, tall_seg, seg_quality, seed=config.seed,
             weighted=config.weighted_palette, mesh=mesh,
             split_method=config.split_method,
+            split_margin=config.split_margin,
         )
 
     import os as _os

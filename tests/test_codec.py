@@ -177,16 +177,37 @@ def test_mediancut_split_encode_roundtrip(lenna128):
     assert stream.encode_many([lenna128], c) == [d1]
 
 
+def test_split_margin_law_and_levels():
+    """split_margin > 1 still satisfies max_colors_per_cluster (it's a MAX
+    law) and produces at least as many clusters as margin 1."""
+    from roibasedimagecompression_tpu.config import clustering_params
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(90, 150, (32, 32, 3)).astype(np.uint8)
+    seg = np.ones((32, 32), np.int32)
+    qual = np.array([0.0, 20.0])
+    counts = {}
+    for m in (1.0, 3.0):
+        t = QB.tier1_table(img, seg, qual, split_margin=m)
+        cop = t["cluster_of_pair"]
+        sizes = np.bincount(cop)
+        params = clustering_params(int(len(cop)) + 1, 20.0)
+        assert sizes.max() <= max(params.max_colors_per_cluster, 2), m
+        counts[m] = int(cop.max()) + 1
+    assert counts[3.0] >= counts[1.0]
+
+
 def test_low_latency_preset_roundtrip(lenna128):
     """CodecConfig.low_latency(): decodable output, deterministic, within
     the fast-mode R-D corridor; overrides pass through."""
     c = rtc.CodecConfig.low_latency()
-    assert c.fast_edges and c.split_method == "mediancut"
+    assert c.fast_edges and c.split_margin == 3.0
     assert rtc.CodecConfig.low_latency(roi_quality=40.0).roi_quality == 40.0
     d = rtc.encode(lenna128, c)
     assert d == rtc.encode(lenna128, c)
     q = M.quality_metrics(lenna128, rtc.decode(d))
-    assert q["psnr"] > 27.0, q["psnr"]
+    assert q["psnr"] > 29.0, q["psnr"]
 
 
 def test_fused_roi_matches_modular(lenna128):
