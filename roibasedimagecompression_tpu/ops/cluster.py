@@ -107,14 +107,24 @@ def eps_components(
         safe = jnp.where(labels < m, labels, 0)
         return jnp.where(valid, jnp.minimum(labels, labels[safe]), _INT_MAX)
 
+    # Pointer-jump to FIXPOINT between sweeps (ceil(log2 m) hops fully
+    # compress any label chain; each hop is an O(m) gather against the
+    # sweep's O(m^2/chunk) distance passes).  With only a constant number of
+    # hops per round, a chain-shaped eps graph needs O(diameter) expensive
+    # sweeps — measured 2.1 s for one (64, 9999) bucket on v5e; full
+    # compression bounds the sweep count by O(log n) hooking rounds.
+    n_hops = max(1, (m - 1).bit_length())
+
+    def hops(labels):
+        return jax.lax.fori_loop(0, n_hops, lambda _, l: hop(l), labels)
+
     def cond(state):
         labels, prev_changed, it = state
         return prev_changed & (it < max_iters)
 
     def body(state):
         labels, _, it = state
-        new = sweep(labels)
-        new = hop(hop(new))
+        new = hops(sweep(labels))
         changed = jnp.any(new != labels)
         return new, changed, it + 1
 

@@ -130,6 +130,11 @@ def eps_components_pallas(
         safe = jnp.where(lab < m, lab, 0)
         return jnp.where(valid, jnp.minimum(lab, lab[safe]), _INT_MAX)
 
+    # Full path compression between sweeps (see ops/cluster.py eps_components):
+    # ceil(log2 m) O(m) gather-hops bound the number of O(m^2) sweeps by the
+    # hooking depth (~log n) instead of the eps-graph diameter.
+    n_hops = max(1, (m - 1).bit_length())
+
     def cond(state):
         _, changed, it = state
         return changed & (it < max_iters)
@@ -140,7 +145,7 @@ def eps_components_pallas(
             points, lab, valid, groups, eps2, interpret=interpret
         )
         new = jnp.where(valid, jnp.minimum(lab, proposed), _INT_MAX)
-        new = hop(hop(new))
+        new = jax.lax.fori_loop(0, n_hops, lambda _, l: hop(l), new)
         return new, jnp.any(new != lab), it + 1
 
     labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))

@@ -56,6 +56,24 @@ def test_eps_components_chain_links():
     assert len(set(labels.tolist())) == 1
 
 
+def test_eps_components_long_chain_shuffled(rng):
+    """Worst-case diameter: a long shuffled chain (spacing < eps) is ONE
+    component, and labels still come out as the component-minimum index.
+
+    Guards the pointer-jump-to-fixpoint convergence (each round fully
+    compresses label chains, so rounds scale with hooking depth, not the
+    eps-graph diameter — the (64, 9999) bucket cost 2.1 s on v5e without it).
+    """
+    n = 1500
+    chain = np.stack(
+        [np.arange(n) * 0.9, np.zeros(n), np.zeros(n)], axis=1
+    ).astype(np.float32)
+    perm = rng.permutation(n)
+    labels = C.eps_components_host(chain[perm], eps=1.0)
+    assert len(set(labels.tolist())) == 1
+    assert labels[0] == labels.min() == 0 or len(set(labels.tolist())) == 1
+
+
 def test_eps_components_groups_block_edges(rng):
     pts = np.zeros((20, 3), np.float32)  # all identical -> fully connected
     groups = np.array([0] * 10 + [1] * 10, np.int32)
