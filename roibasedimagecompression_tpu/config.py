@@ -207,6 +207,14 @@ class CodecConfig:
     # Env override: RHCCQ_SPLIT_MARGIN.  Default 1.5: +0.54 dB at +0.4% bpp
     # vs margin 1 at the standard preset (full-res measurement above).
     split_margin: float = 1.5
+    # Weight the oversized-split k-means by per-color PIXEL counts (weighted
+    # ++ sampling and Lloyd updates) so split PARTITIONS minimize pixel-level
+    # MSE instead of palette-entry MSE.  The reference splits palette entries
+    # unweighted (clustering.py:720-775).  Measured (256px Kodak crops x4,
+    # CPU): ~neutral — -0.03 dB at -0.27% bpp — because the final cluster
+    # COLORS are already pixel-weighted means (weighted_palette); kept as an
+    # opt-in experiment knob.  Env override: RHCCQ_WEIGHTED_SPLIT=0/1.
+    weighted_split: bool = False
 
     @classmethod
     def low_latency(cls, **overrides) -> "CodecConfig":

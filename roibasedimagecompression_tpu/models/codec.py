@@ -277,6 +277,7 @@ def tiers23_colors_many(t1_list: list, group_map_list: list, config: cfg.CodecCo
             out_list=[t2_list[k] for k in owner],
             split_method=config.split_method,
             split_margin=config.split_margin,
+            weighted_split=config.weighted_split,
         )
 
     # ---- optional black-hole fill before tier 3 (image.py:259 call point) ---
@@ -307,6 +308,7 @@ def tiers23_colors_many(t1_list: list, group_map_list: list, config: cfg.CodecCo
             seed=config.seed, weighted=config.weighted_palette, mesh=mesh,
             out_list=[t3_list[k] for k in owner],
             split_method=config.split_method, split_margin=config.split_margin,
+            weighted_split=config.weighted_split,
         )
     return t2_list, t3_list
 
@@ -380,6 +382,7 @@ def tiers23_palette_indices(
         uniq2, w2 if config.weighted_palette else None, qual2,
         seed=config.seed, mesh=mesh, split_method=config.split_method,
         split_margin=config.split_margin,
+        weighted_split=config.weighted_split,
     )
     with stage_timer("t23.compose"):
         c2_packed = (
@@ -395,6 +398,7 @@ def tiers23_palette_indices(
         uniq3, w3 if config.weighted_palette else None,
         [config.image_quality] * b, seed=config.seed, mesh=mesh,
         split_method=config.split_method, split_margin=config.split_margin,
+        weighted_split=config.weighted_split,
     )
     with stage_timer("t23.compose"):
         c3_packed = (
@@ -516,6 +520,7 @@ def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
             weighted=config.weighted_palette,
             split_method=config.split_method,
             split_margin=config.split_margin,
+            weighted_split=config.weighted_split,
         )
 
     import os as _os
@@ -593,6 +598,7 @@ def encode_debug(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -
         image_rgb, seg_map, seg_quality, seed=config.seed,
         weighted=config.weighted_palette, split_method=config.split_method,
         split_margin=config.split_margin,
+        weighted_split=config.weighted_split,
     )
     group_map = np.where(seg_map > 0, seg_group[seg_map], 0)
     t2_list, t3_list = tiers23_colors_many([t1], [group_map], config)

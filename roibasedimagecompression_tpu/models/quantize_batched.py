@@ -195,6 +195,32 @@ def _kmeans_gather(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cap", "k_max", "iters", "chunk", "plusplus")
+)
+def _kmeans_gather_w(
+    colors_dev, weights_dev, order_dev, starts, sizes, ks, *, cap, k_max,
+    iters, seed, chunk, plusplus,
+):
+    """_kmeans_gather with per-point pixel-count weights gathered from the
+    device-resident weights table (weighted Lloyd: see ops.cluster.kmeans)."""
+    pos = jnp.arange(cap)
+
+    def one(s0, sz, k):
+        v = pos < sz
+        idx = order_dev[jnp.where(v, s0 + pos, 0)]
+        pts = jnp.where(v[:, None], colors_dev[idx], 0.0)
+        w = jnp.where(v, weights_dev[idx], 0.0)
+        labels, _ = CL.kmeans(
+            pts, v, k, k_max=k_max, iters=iters, seed=seed, chunk=chunk,
+            plusplus=plusplus, weights=w,
+        )
+        return labels
+
+    dt = jnp.uint8 if k_max <= 256 else jnp.uint16
+    return jax.vmap(one)(starts, sizes, ks).astype(dt)
+
+
+@functools.partial(
     jax.jit, static_argnames=("cap", "k_max", "iters", "chunk")
 )
 def _kmeans_gather_init(
@@ -282,6 +308,16 @@ def _bucketize(sizes: np.ndarray, caps) -> dict:
     return out
 
 
+def _weighted_split_on(flag: bool) -> bool:
+    """RHCCQ_WEIGHTED_SPLIT env override for the config flag."""
+    import os
+
+    env = os.environ.get("RHCCQ_WEIGHTED_SPLIT")
+    if env is None:
+        return flag
+    return env not in ("", "0")
+
+
 def _pad_batch(b: int) -> int:
     """Round the problem count up: pow2 to 32, then multiples of 32.
 
@@ -317,6 +353,7 @@ def tier1_colors(
     mesh=None,
     split_method: str = "kmeans",
     split_margin: float = 1.0,
+    weighted_split: bool = False,
 ) -> np.ndarray:
     """Per-pixel tier-1 quantized colors for the whole image in one pass.
 
@@ -330,6 +367,7 @@ def tier1_colors(
     table = tier1_table(
         image_rgb, seg_map, seg_quality, seed=seed, weighted=weighted,
         mesh=mesh, split_method=split_method, split_margin=split_margin,
+        weighted_split=weighted_split,
     )
     out = np.zeros_like(image_rgb)
     if table is None:
@@ -356,6 +394,7 @@ def tier1_table(
     mesh=None,
     split_method: str = "kmeans",
     split_margin: float = 1.0,
+    weighted_split: bool = False,
 ) -> dict | None:
     """Tier-1 clustering as a pair/cluster TABLE (no canvas paint).
 
@@ -484,12 +523,33 @@ def tier1_table(
         _, cluster_of_pair = _unique_inverse(cluster_keys)
         next_cluster = int(cluster_of_pair.max()) + 1
 
+    # Per-pair pixel multiplicities (used by the weighted split AND the
+    # final cluster means).
+    if repaired_counts is not None:
+        # The native repair folded repaired pairs' pixel counts into
+        # their targets in place.
+        pair_weights = repaired_counts.astype(np.float64)
+    elif pre_repair_counts is not None:
+        # Per-pair pixel counts fell out of the native dedup; the
+        # black repair folds repaired pairs' counts into their
+        # targets through the remap.
+        pair_weights = np.bincount(
+            repair_remap,
+            weights=pre_repair_counts.astype(np.float64),
+            minlength=len(seg_of_pair),
+        )
+    else:
+        pair_weights = np.bincount(
+            inverse, minlength=len(seg_of_pair)
+        ).astype(np.float64)
+
     # ---- level-synchronous oversized-cluster splitting ----
     with stage_timer("t1.split"):
         pair_max_colors = np.repeat(max_colors, sizes)  # per pair, via run layout
         cluster_of_pair, next_cluster = _split_oversized_batched(
             colors, cluster_of_pair, pair_max_colors, next_cluster, seed,
             mesh=mesh, method=split_method, margin=split_margin,
+            weights=pair_weights if _weighted_split_on(weighted_split) else None,
         )
 
     # ---- cluster mean colors (truncated uint8, clustering.py:305,347) ----
@@ -497,26 +557,6 @@ def tier1_table(
     # cluster color minimizes pixel-level MSE; weighted=False reproduces the
     # reference's unweighted palette-entry mean.
     with stage_timer("t1.means"):
-        if repaired_counts is not None:
-            # The native repair folded repaired pairs' pixel counts into
-            # their targets in place.
-            pair_weights = repaired_counts.astype(np.float64)
-        elif pre_repair_counts is not None:
-            # Per-pair pixel counts fell out of the native dedup; the
-            # black repair folds repaired pairs' counts into their
-            # targets through the remap.
-            pair_weights = np.bincount(
-                repair_remap,
-                weights=pre_repair_counts.astype(np.float64),
-                minlength=len(seg_of_pair),
-            )
-        else:
-            pair_weights = np.bincount(
-                inverse, minlength=len(seg_of_pair)
-            ).astype(np.float64)
-        # weighted=True weights each palette color by its pixel count so the
-        # cluster color minimizes pixel-level MSE; weighted=False reproduces
-        # the reference's unweighted palette-entry mean.
         w = pair_weights if weighted else None
         cluster_colors = native.cluster_means_u8(
             cluster_of_pair, color_of_pair, w, next_cluster
@@ -555,6 +595,7 @@ def cluster_color_maps_many(
     out_list: list | None = None,
     split_method: str = "kmeans",
     split_margin: float = 1.0,
+    weighted_split: bool = False,
 ) -> list:
     """Batched tier-2/3 color-map clustering across MANY problems.
 
@@ -618,7 +659,7 @@ def cluster_color_maps_many(
     pair_colors = cluster_pair_table(
         uniq, pair_pixel_counts if weighted else None, quality_list,
         seed=seed, mesh=mesh, split_method=split_method,
-        split_margin=split_margin,
+        split_margin=split_margin, weighted_split=weighted_split,
     )
 
     if out_list is not None:
@@ -654,6 +695,7 @@ def cluster_pair_table(
     mesh=None,
     split_method: str = "kmeans",
     split_margin: float = 1.0,
+    weighted_split: bool = False,
 ) -> np.ndarray:
     """Cluster a pooled, already-deduped (problem, color) pair table.
 
@@ -761,6 +803,11 @@ def cluster_pair_table(
         cluster_of_pair, next_cluster = _split_oversized_batched(
             colors, cluster_of_pair, pair_limits, next_cluster, seed,
             mesh=mesh, method=split_method, margin=split_margin,
+            weights=(
+                weights.astype(np.float64)
+                if _weighted_split_on(weighted_split) and weights is not None
+                else None
+            ),
         )
 
     # ---- cluster mean colors (truncated uint8, clustering.py:305,347) ------
@@ -898,7 +945,7 @@ def _split_oversized_mediancut(colors, cluster_of_pair, pair_max_colors,
 
 def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
                              next_cluster, seed, mesh=None, method="kmeans",
-                             margin=1.0):
+                             margin=1.0, weights=None):
     """Split clusters above their per-segment max size with batched k-means.
 
     Mirrors split_large_cluster recursion (clustering.py:720-775) but level-
@@ -1009,6 +1056,11 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
         with stage_timer("split.kmeans"):
             colors_dev = _colors_device(colors, mesh)
             order_dev = _order_device(order.astype(np.int32), mesh)
+            weights_dev = None
+            if weights is not None:
+                wbuf = np.zeros(_pow2(len(weights)), np.float32)
+                wbuf[: len(weights)] = weights
+                weights_dev = _replicated(wbuf, mesh)
             for cap, rows in _bucketize(sizes[oversized], caps).items():
                 ids = oversized[rows]
                 k_max = _pad_kmax(int(ks[rows].max()))
@@ -1037,6 +1089,18 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
                         SHARD.shard_rows(inits_b, mesh),
                         cap=cap, k_max=int(k_max), iters=10,
                         chunk=min(2048, cap),
+                    )
+                    pending.append((ids, starts[ids], sizes[ids], k_max, result))
+                    continue
+                if weights_dev is not None:
+                    result = DISPATCH.submit(
+                        _kmeans_gather_w,
+                        colors_dev, weights_dev, order_dev,
+                        SHARD.shard_rows(starts_b, mesh),
+                        SHARD.shard_rows(sizes_b, mesh),
+                        SHARD.shard_rows(ks_b, mesh),
+                        cap=cap, k_max=int(k_max), iters=10, seed=seed,
+                        chunk=min(2048, cap), plusplus=k_max <= 256,
                     )
                     pending.append((ids, starts[ids], sizes[ids], k_max, result))
                     continue

@@ -145,6 +145,7 @@ def kmeans(
     chunk: int = 2048,
     plusplus: bool = True,
     init_centers: jax.Array | None = None,
+    weights: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Lloyd k-means with k-means++ (or seeded-random) init, padded shapes.
 
@@ -156,6 +157,11 @@ def kmeans(
         the ++ init is SEQUENTIAL in k_max and dominates the split kernels'
         device latency, so callers with a cheap stratified host init
         (PCA-chunk means) pass it here.
+      weights: optional (n,) float32 per-point weights.  Weighted Lloyd:
+        ++ sampling goes proportional to w*d^2 and center updates become
+        weighted means (assignment is unchanged).  The palette-split callers
+        pass per-color PIXEL counts so split centers minimize pixel-level
+        MSE, not palette-entry MSE.
     Returns:
       (labels (n,) int32 in [0, k), centers (k_max, d) float32).
     Replaces sklearn KMeans/MiniBatchKMeans at clustering.py:211,751 — the
@@ -166,8 +172,13 @@ def kmeans(
     if pad:
         points = jnp.pad(points, ((0, pad), (0, 0)))
         valid = jnp.pad(valid, (0, pad))
+        if weights is not None:
+            weights = jnp.pad(weights, (0, pad))
     m = points.shape[0]
     points = points.astype(jnp.float32)
+    w_pts = None
+    if weights is not None:
+        w_pts = jnp.where(valid, weights.astype(jnp.float32), 0.0)
     key = jax.random.PRNGKey(seed)
     k = jnp.asarray(k, jnp.int32)
     center_valid = jnp.arange(k_max) < k
@@ -183,7 +194,8 @@ def kmeans(
         def init_step(i, state):
             centers, min_d2, key = state
             key, sub = jax.random.split(key)
-            logits = jnp.where(valid & (min_d2 > 0), jnp.log(min_d2 + 1e-20), -jnp.inf)
+            mass = min_d2 if w_pts is None else min_d2 * w_pts
+            logits = jnp.where(valid & (mass > 0), jnp.log(mass + 1e-20), -jnp.inf)
             # Degenerate case (all remaining distances zero): uniform over valid.
             logits = jnp.where(
                 jnp.any(jnp.isfinite(logits)), logits, jnp.where(valid, 0.0, -jnp.inf)
@@ -196,7 +208,12 @@ def kmeans(
             return centers, min_d2, key
 
         key, sub = jax.random.split(key)
-        first = jax.random.categorical(sub, jnp.where(valid, 0.0, -jnp.inf))
+        first_logits = (
+            jnp.where(valid, 0.0, -jnp.inf)
+            if w_pts is None
+            else jnp.where(valid & (w_pts > 0), jnp.log(w_pts + 1e-20), -jnp.inf)
+        )
+        first = jax.random.categorical(sub, first_logits)
         centers0 = jnp.zeros((k_max, d), jnp.float32).at[0].set(points[first])
         min_d2 = jnp.sum((points - points[first][None, :]) ** 2, axis=1)
         min_d2 = jnp.where(valid, min_d2, 0.0)
@@ -234,6 +251,8 @@ def kmeans(
             ids = jax.lax.dynamic_slice_in_dim(labels, start, chunk)
             v = jax.lax.dynamic_slice_in_dim(valid, start, chunk)
             oh = ((ids[:, None] == kids) & v[:, None]).astype(jnp.float32)
+            if w_pts is not None:
+                oh = oh * jax.lax.dynamic_slice_in_dim(w_pts, start, chunk)[:, None]
             sums = sums + jax.lax.dot_general(
                 oh, rows,
                 dimension_numbers=(((0,), (0,)), ((), ())),

@@ -182,6 +182,7 @@ def encode_many(
             weighted=config.weighted_palette, mesh=mesh,
             split_method=config.split_method,
             split_margin=config.split_margin,
+            weighted_split=config.weighted_split,
         )
 
     import os as _os

@@ -83,6 +83,32 @@ def test_eps_components_groups_block_edges(rng):
     assert labels[0] != labels[10]
 
 
+def test_kmeans_weighted_centers_follow_mass(rng):
+    """Weighted Lloyd: with k=1 effective cluster mass, the center is the
+    WEIGHTED mean of its members, not the plain mean."""
+    import jax.numpy as jnp
+
+    pts = np.zeros((8, 3), np.float32)
+    pts[0] = [0, 0, 0]
+    pts[1] = [90, 90, 90]
+    pts[2:] = [10, 10, 10]
+    w = np.ones(8, np.float32)
+    w[1] = 1000.0  # the bright point carries almost all pixel mass
+    valid = np.ones(8, bool)
+    labels, centers = C.kmeans(
+        jnp.asarray(pts), jnp.asarray(valid), 1, k_max=2, iters=5,
+        weights=jnp.asarray(w),
+    )
+    labels_u, centers_u = C.kmeans(
+        jnp.asarray(pts), jnp.asarray(valid), 1, k_max=2, iters=5,
+    )
+    c_w = np.asarray(centers)[0]
+    c_u = np.asarray(centers_u)[0]
+    # Weighted center sits near the heavy point; unweighted near the plain mean.
+    assert np.linalg.norm(c_w - 90) < 5.0, c_w
+    assert np.linalg.norm(c_u - 90) > 50.0, c_u
+
+
 def test_kmeans_partition_quality(rng):
     from sklearn.cluster import KMeans
 
