@@ -126,10 +126,11 @@ def main(argv=None):
     p.add_argument("--enhance-shadows", action="store_true")
     p.add_argument(
         "--split-method", default="kmeans",
-        choices=["kmeans", "kmeans-mc", "mediancut"],
+        choices=["kmeans", "kmeans-mc", "hybrid", "mediancut"],
         help="oversized-cluster split: kmeans (reference law, best R-D), "
-        "kmeans-mc (stratified init, faster), mediancut (fastest, lower-rate "
-        "R-D point; see RD_SPLIT_METHODS.json)",
+        "kmeans-mc (stratified init, faster), hybrid (k-means above 64 "
+        "colors, host median cut below — fewer device waves), mediancut "
+        "(fastest, lower-rate R-D point; see RD_SPLIT_METHODS.json)",
     )
     p.add_argument(
         "--split-margin", type=float, default=1.5,

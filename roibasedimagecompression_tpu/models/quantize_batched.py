@@ -994,6 +994,53 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
             break
         any_split = True
         next_active = []
+        key_base = np.int64(next_cluster)
+
+        if method == "hybrid":
+            # Tiny oversized clusters take host PCA median cuts (zero
+            # launches); only clusters above the cutoff earn a device
+            # k-means.  The split levels' tail is thousands of <= 64-color
+            # problems whose serial device waves dominate split.kmeans.
+            # Cuts run to limit/margin WITHIN the level (the same rate
+            # over-provisioning the k-means path gets from k = ceil(n*m/max),
+            # which carries most of split-margin's R-D gain), so tiny
+            # clusters never re-enter the level loop.
+            cutoff = int(_os.environ.get("RHCCQ_HYBRID_CUTOFF") or 64)
+            m_h = float(
+                _os.environ.get("RHCCQ_HYBRID_MARGIN")
+                or _os.environ.get("RHCCQ_SPLIT_MARGIN")
+                or margin
+            )
+            tiny = oversized[sizes[oversized] <= cutoff]
+            if len(tiny):
+                flat_pos_t, _, _ = _flat_run_positions(
+                    starts[tiny], sizes[tiny]
+                )
+                tiny_pos = order[flat_pos_t]
+                for _cut in range(12):  # sizes halve per cut
+                    o_t = tiny_pos[native.argsort_i64(cluster_of_pair[tiny_pos])]
+                    _, st_t, sz_t = _runs_of_sorted(cluster_of_pair[o_t])
+                    lim_t = np.maximum(
+                        1, -(-pair_max_colors[o_t[st_t]] // max(m_h, 1.0))
+                    ).astype(np.int64)
+                    ov_t = np.flatnonzero((sz_t > lim_t) & (sz_t > 2))
+                    if len(ov_t) == 0:
+                        break
+                    pos2, row2, rank2, n2 = _pca_chunk_ranks(
+                        colors, o_t, st_t, sz_t, ov_t
+                    )
+                    child = rank2 >= (n2[row2] + 1) // 2
+                    cluster_of_pair[pos2] = key_base + row2 * 2 + child
+                    key_base += np.int64(2 * len(ov_t))
+                oversized = oversized[sizes[oversized] > cutoff]
+                if len(oversized) == 0:
+                    next_cluster = int(key_base)
+                    active = (
+                        np.concatenate(next_active)
+                        if next_active
+                        else np.empty(0, np.int64)
+                    )
+                    continue
 
         # n_splits law: min(max(2, ceil(n/max)), n).  RHCCQ_SPLIT_MARGIN
         # over-provisions k by that factor (max_colors_per_cluster is a MAX
@@ -1016,7 +1063,6 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
                 ks.astype(np.int64), k_max_all,
             )
 
-        key_base = np.int64(next_cluster)
         # NOTE: merging the small caps (64+256 -> 256) to save launches was
         # measured SLOWER (split.kmeans 1.9s -> 2.8s per batch): the split
         # levels carry thousands of tiny problems and the padded k-means

@@ -161,6 +161,26 @@ def test_mediancut_split_respects_max_colors_law():
         assert sizes.max() <= max(params.max_colors_per_cluster, 2)
 
 
+def test_hybrid_split_respects_max_colors_law():
+    """split_method='hybrid' (device k-means above the 64-color cutoff, host
+    median cut below) also satisfies the max_colors_per_cluster law."""
+    from roibasedimagecompression_tpu.config import clustering_params
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(60, 200, (48, 48, 3)).astype(np.uint8)
+    seg = np.ones((48, 48), np.int32)
+    seg[24:, :] = 2
+    qual = np.array([0.0, 15.0, 30.0])
+    table = QB.tier1_table(img, seg, qual, split_method="hybrid")
+    seg_of_pair, cop = table["seg_of_pair"], table["cluster_of_pair"]
+    for s in (1, 2):
+        selp = seg_of_pair == s
+        params = clustering_params(int(selp.sum()) + 1, float(qual[s]))
+        sizes = np.bincount(cop[selp], minlength=int(cop.max()) + 1)
+        assert sizes.max() <= max(params.max_colors_per_cluster, 2)
+
+
 def test_mediancut_split_encode_roundtrip(lenna128):
     """Full encode with the median-cut split: deterministic, within its
     measured R-D corridor (a LOWER-rate operating point than the k-means
