@@ -237,8 +237,7 @@ def kmeans(
         starts = jnp.arange(0, m, chunk)
         return jax.lax.map(one_chunk, starts).reshape(m)
 
-    def lloyd(_, centers):
-        labels = assign(centers)
+    def _update(labels, centers):
         # Center update via chunked one-hot MXU contractions — TPU
         # scatter-adds (segment_sum) dominate the iteration otherwise
         # (measured ~25 ms/iter vs sub-ms at the SLIC bucket shapes; same
@@ -269,7 +268,24 @@ def kmeans(
         # Empty clusters keep their previous center.
         return jnp.where(counts[:, None] > 0, new_centers, centers)
 
-    centers = jax.lax.fori_loop(0, iters, lloyd, centers)
+    # Early-exit Lloyd: once assignments stop changing the update is a
+    # fixed point, so the remaining iterations are no-ops — the final
+    # (labels, centers) are bit-identical to the fixed-count loop, the
+    # device just skips the dead iterations (in vmapped use the batch runs
+    # lock-step until every row converges).
+    def _cond(state):
+        i, _, _, changed = state
+        return changed & (i < iters)
+
+    def _body(state):
+        i, centers, prev_labels, _ = state
+        labels = assign(centers)
+        centers = _update(labels, centers)
+        return i + 1, centers, labels, jnp.any(labels != prev_labels)
+
+    _, centers, _, _ = jax.lax.while_loop(
+        _cond, _body, (0, centers, jnp.full((m,), -1, jnp.int32), jnp.bool_(True))
+    )
     labels = assign(centers)
     return labels[:n], centers
 

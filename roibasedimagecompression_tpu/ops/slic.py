@@ -156,8 +156,7 @@ def _slic_core(
         starts = jnp.arange(0, mp, chunk)
         return jax.lax.map(one_chunk, starts).reshape(mp)
 
-    def lloyd(_, centers):
-        assign_ids = assign(centers)
+    def _update(assign_ids, centers):
         # Center update via chunked one-hot MXU matmuls: TPU scatter-adds
         # (segment_sum) measured ~25 ms per iteration at the dominant bucket
         # shape — ~90% of the whole SLIC stage; the one-hot contraction is
@@ -187,7 +186,23 @@ def _slic_core(
         new = sums / jnp.maximum(counts, 1.0)[:, None]
         return jnp.where(counts[:, None] > 0, new, centers)
 
-    centers = jax.lax.fori_loop(0, iters, lloyd, init_centers)
+    # Early-exit Lloyd (bit-identical to the fixed-count loop: once
+    # assignments stop changing the update is a fixed point, so the
+    # remaining iterations are no-ops — see ops/cluster.py kmeans).
+    def _cond(state):
+        i, _, _, changed = state
+        return changed & (i < iters)
+
+    def _body(state):
+        i, centers, prev_ids, _ = state
+        assign_ids = assign(centers)
+        centers = _update(assign_ids, centers)
+        return i + 1, centers, assign_ids, jnp.any(assign_ids != prev_ids)
+
+    _, centers, _, _ = jax.lax.while_loop(
+        _cond, _body,
+        (0, init_centers, jnp.full((mp,), -1, jnp.int32), jnp.bool_(True)),
+    )
     out = assign(centers)[: h * w]
     # uint8 return (n_centers <= 256): the tunneled chip downloads at
     # ~22 MB/s, so label-map bytes are wall-clock.  -1 (outside mask) wraps
