@@ -169,6 +169,8 @@ def main():
     log(f"solo batch x{len(bench_batches[0])}: {solo_dt:.1f}s "
         f"({solo_mp / solo_dt:.3f} MP/s)")
     try:
+        if jax.default_backend() != "tpu":
+            raise OSError  # CPU smoke runs must not overwrite the TPU profile
         stages_out = {
             k: round(v["seconds"], 3) for k, v in timing.stage_report().items()
         }
