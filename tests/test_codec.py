@@ -197,6 +197,22 @@ def test_mediancut_split_encode_roundtrip(lenna128):
     assert stream.encode_many([lenna128], c) == [d1]
 
 
+def test_hybrid_split_encode_roundtrip(lenna128):
+    """Full encode with the hybrid split: deterministic, near the k-means
+    R-D corridor (tiny clusters take margin-scaled host median cuts), and
+    batched == single."""
+    from roibasedimagecompression_tpu.parallel import stream
+
+    c = rtc.CodecConfig(split_method="hybrid")
+    d1 = rtc.encode(lenna128, c)
+    assert d1 == rtc.encode(lenna128, c)
+    q = M.quality_metrics(lenna128, rtc.decode(d1))
+    bpp = len(d1) * 8 / (128 * 128)
+    assert q["psnr"] > 30.0, (q["psnr"], bpp)
+    assert bpp < 6.5, (q["psnr"], bpp)
+    assert stream.encode_many([lenna128], c) == [d1]
+
+
 def test_split_margin_law_and_levels():
     """split_margin > 1 still satisfies max_colors_per_cluster (it's a MAX
     law) and produces at least as many clusters as margin 1."""
