@@ -273,14 +273,19 @@ def _adopt_batch(labels, keeps, masks):
 
 
 def _pad_dim(n: int, minimum: int = 64) -> int:
-    """Shape-bucket a SLIC dim: tiers {128, 256} up to 256, then multiples
-    of 64.
+    """Shape-bucket a SLIC dim: tiers {64, 128, 256} up to 256, then
+    multiples of 64.
 
     Two measured forces: padded pixels are real Lloyd work (~220 ns/px —
-    pow2 padding of the dominant ~537x358 bucket to (1024, 512) cost 2.4x),
-    but every kernel launch costs ~35 ms through the tunnel.  Above 256 the
-    compute term wins (fine 64-step grid); at or below 256 a launch dwarfs
-    the pixels, so small regions collapse into two tiers."""
+    pow2 padding of the dominant ~537x358 bucket to (1024, 512) cost 2.4x)
+    AND real download bytes (labels ride the ~22 MB/s tunnel), but every
+    kernel launch costs ~35 ms through the tunnel.  Above 256 the compute
+    term wins (fine 64-step grid); at or below 256 a launch dwarfs the
+    pixels, so small regions collapse into three tiers (a real Kodak batch
+    measured 2.7x padded-over-real pixels with the old {128, 256} floor —
+    tiny regions quadrupled their label download)."""
+    if n <= 64:
+        return 64
     if n <= 128:
         return 128
     if n <= 256:
@@ -289,10 +294,15 @@ def _pad_dim(n: int, minimum: int = 64) -> int:
 
 
 def _pad_batch(b: int) -> int:
-    """Round batch counts up to a multiple of four (was pow4: padding 9 rows
-    to 16 cost 1.3x measured kernel time; multiples of 4 bound the compiled
-    batch shapes at ~4x more variants, all persistent-cached)."""
-    return max(4, -(-b // 4) * 4)
+    """Round batch counts up: {1, 2} stay exact, then multiples of four.
+
+    Was min-4 (and before that pow4): a real Kodak batch carries ~10
+    singleton dim-buckets per 8 images, each paying 4x its label download
+    and Lloyd work at the 4-row floor.  Rows 1/2/4k keep the compiled
+    batch-shape count bounded (all persistent-cached)."""
+    if b <= 2:
+        return b
+    return -(-b // 4) * 4
 
 
 def _prepare_centers(mask: np.ndarray, n_segments: int):
