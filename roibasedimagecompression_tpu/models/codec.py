@@ -379,10 +379,11 @@ def tiers23_palette_indices(
             for p in range(2 * b)
         ]
     out2 = QB.cluster_pair_table(
-        uniq2, w2 if config.weighted_palette else None, qual2,
+        uniq2, w2, qual2,
         seed=config.seed, mesh=mesh, split_method=config.split_method,
         split_margin=config.split_margin,
         weighted_split=config.weighted_split,
+        weighted=config.weighted_palette,
     )
     with stage_timer("t23.compose"):
         c2_packed = (
@@ -395,10 +396,11 @@ def tiers23_palette_indices(
         uniq3, inv3 = QB._unique_inverse(img_of_cluster << 24 | c2_packed)
         w3 = np.bincount(inv3, weights=w_cluster)
     out3 = QB.cluster_pair_table(
-        uniq3, w3 if config.weighted_palette else None,
+        uniq3, w3,
         [config.image_quality] * b, seed=config.seed, mesh=mesh,
         split_method=config.split_method, split_margin=config.split_margin,
         weighted_split=config.weighted_split,
+        weighted=config.weighted_palette,
     )
     with stage_timer("t23.compose"):
         c3_packed = (

@@ -318,6 +318,28 @@ def _weighted_split_on(flag: bool) -> bool:
     return env not in ("", "0")
 
 
+_WEIGHT_DROP_WARNED: set = set()
+
+
+def _warn_weights_dropped(reason: str) -> None:
+    """One-time signal that weighted_split fell back to unweighted here.
+
+    The median-cut / PCA-init / >65536-color host split paths have no
+    weighted kernel; silently ignoring the knob made A/B studies lie."""
+    if reason in _WEIGHT_DROP_WARNED:
+        return
+    _WEIGHT_DROP_WARNED.add(reason)
+    import warnings
+
+    warnings.warn(
+        f"weighted_split: {reason} has no weighted kernel; those splits run "
+        "unweighted (pixel-mass weighting applies to the device Lloyd path "
+        "only)",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def _pad_batch(b: int) -> int:
     """Round the problem count up: pow2 to 32, then multiples of 32.
 
@@ -657,9 +679,10 @@ def cluster_color_maps_many(
         uniq, inverse, pair_pixel_counts = _unique_inverse(keys, return_counts=True)
 
     pair_colors = cluster_pair_table(
-        uniq, pair_pixel_counts if weighted else None, quality_list,
+        uniq, pair_pixel_counts, quality_list,
         seed=seed, mesh=mesh, split_method=split_method,
         split_margin=split_margin, weighted_split=weighted_split,
+        weighted=weighted,
     )
 
     if out_list is not None:
@@ -696,11 +719,15 @@ def cluster_pair_table(
     split_method: str = "kmeans",
     split_margin: float = 1.0,
     weighted_split: bool = False,
+    weighted: bool = True,
 ) -> np.ndarray:
     """Cluster a pooled, already-deduped (problem, color) pair table.
 
     `uniq` is the sorted int64 key table `prob << 24 | packed_rgb` (unique
-    rows); `weights` the per-pair pixel multiplicities (None = unweighted);
+    rows); `weights` the per-pair pixel multiplicities (pass them whenever
+    known — `weighted` controls whether the cluster MEANS use them, while
+    `weighted_split` independently controls the oversized-split Lloyd, so
+    weighted_split works even with weighted_palette off);
     `quality_list` maps problem id -> quality.  Black pairs are pinned
     (never clustered, counted by the n-colors law — reference
     encoder/compression/clustering.py:188-199, merging.py:42-44).  Returns
@@ -814,7 +841,7 @@ def cluster_pair_table(
     # Per-pair pixel multiplicities fall out of the radix dedup — no
     # repair/remap happens on this path (black pairs are pinned), so they
     # ARE the weights.
-    w = weights.astype(np.float64) if weights is not None else None
+    w = weights.astype(np.float64) if (weighted and weights is not None) else None
     cluster_colors = native.cluster_means_u8(
         cluster_of_pair, color_of_pair, w, next_cluster
     )
@@ -963,6 +990,8 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
 
     method = _os.environ.get("RHCCQ_SPLIT_METHOD") or method
     if method == "mediancut":
+        if weights is not None:
+            _warn_weights_dropped("split_method='mediancut'")
         with stage_timer("split.lum"):
             return _split_oversized_mediancut(
                 colors, cluster_of_pair, pair_max_colors, next_cluster
@@ -1013,11 +1042,17 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
             )
             tiny = oversized[sizes[oversized] <= cutoff]
             if len(tiny):
+                if weights is not None:
+                    _warn_weights_dropped("hybrid's tiny median cuts")
                 flat_pos_t, _, _ = _flat_run_positions(
                     starts[tiny], sizes[tiny]
                 )
                 tiny_pos = order[flat_pos_t]
-                for _cut in range(12):  # sizes halve per cut
+                # Sizes halve per cut, so log2(cutoff)+2 rounds always reach
+                # the limit — a fixed bound would break the max-colors law
+                # for large RHCCQ_HYBRID_CUTOFF overrides.
+                n_cuts = max(12, cutoff.bit_length() + 2)
+                for _cut in range(n_cuts):
                     o_t = tiny_pos[native.argsort_i64(cluster_of_pair[tiny_pos])]
                     _, st_t, sz_t = _runs_of_sorted(cluster_of_pair[o_t])
                     lim_t = np.maximum(
@@ -1054,6 +1089,8 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
 
         inits = None
         if method == "kmeans-mc":
+            if weights is not None:
+                _warn_weights_dropped("split_method='kmeans-mc'")
             pos_mc, row_mc, rank_mc, n_mc = _pca_chunk_ranks(
                 colors, order, starts, sizes, oversized
             )
@@ -1073,6 +1110,8 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
         # silently skipping them would break the max_colors_per_cluster law.
         huge_rows = np.flatnonzero(sizes[oversized] > caps[-1])
         if len(huge_rows):
+            if weights is not None:
+                _warn_weights_dropped(">65536-color host k-means")
             labs = CL.kmeans_host_many(
                 [
                     (

@@ -71,7 +71,7 @@ def test_eps_components_long_chain_shuffled(rng):
     perm = rng.permutation(n)
     labels = C.eps_components_host(chain[perm], eps=1.0)
     assert len(set(labels.tolist())) == 1
-    assert labels[0] == labels.min() == 0 or len(set(labels.tolist())) == 1
+    assert labels.min() == 0  # component labeled by its minimum point index
 
 
 def test_eps_components_groups_block_edges(rng):

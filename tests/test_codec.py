@@ -234,6 +234,59 @@ def test_split_margin_law_and_levels():
     assert counts[3.0] >= counts[1.0]
 
 
+def test_weighted_split_decoupled_from_weighted_palette(monkeypatch):
+    """weighted_split reaches the tier-2/3 split even with weighted_palette
+    off: cluster_pair_table threads the pixel counts to the split whenever
+    weighted_split is on; the `weighted` flag gates only the cluster means."""
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+
+    captured = {}
+    real = QB._split_oversized_batched
+
+    def spy(colors, cop, lim, nxt, seed, **kw):
+        captured["weights"] = kw.get("weights")
+        return real(colors, cop, lim, nxt, seed, **kw)
+
+    monkeypatch.setattr(QB, "_split_oversized_batched", spy)
+    rng = np.random.default_rng(4)
+    colors = rng.integers(1, 255, (60, 3)).astype(np.int64)
+    keys = np.unique(colors[:, 0] << 16 | colors[:, 1] << 8 | colors[:, 2])
+    counts = np.arange(1, len(keys) + 1, dtype=np.int64)
+    QB.cluster_pair_table(
+        keys, counts, [20.0], weighted=False, weighted_split=True
+    )
+    assert captured["weights"] is not None
+    QB.cluster_pair_table(
+        keys, counts, [20.0], weighted=False, weighted_split=False
+    )
+    assert captured["weights"] is None
+
+
+def test_weighted_split_drop_warns_once():
+    """Split paths with no weighted kernel (median cut) signal the drop
+    instead of silently ignoring the weighted_split knob — and only once."""
+    import warnings
+
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+
+    QB._WEIGHT_DROP_WARNED.clear()
+    colors = np.array([[0.0, 0, 0], [10, 0, 0], [20, 0, 0], [255, 0, 0]],
+                      np.float32)
+    cop = np.zeros(4, np.int64)
+    lim = np.ones(4, np.int64)
+    with pytest.warns(RuntimeWarning, match="weighted_split"):
+        QB._split_oversized_batched(
+            colors, cop.copy(), lim, 1, 42, method="mediancut",
+            weights=np.ones(4),
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        QB._split_oversized_batched(
+            colors, cop.copy(), lim, 1, 42, method="mediancut",
+            weights=np.ones(4),
+        )
+
+
 def test_low_latency_preset_roundtrip(lenna128):
     """CodecConfig.low_latency(): decodable output, deterministic, within
     the fast-mode R-D corridor; overrides pass through."""

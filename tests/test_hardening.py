@@ -123,15 +123,17 @@ def test_shape_bucket_policies():
     from roibasedimagecompression_tpu.models import segment as SEG
     from roibasedimagecompression_tpu.ops import slic as SLIC
 
-    # Spatial dims: pow2 to 256, then multiples of 128.
-    assert SLIC._pad_dim(60) == 128  # small-tier merge
+    # SLIC spatial dims: tiers {64, 128, 256}, then multiples of 64.
+    assert SLIC._pad_dim(60) == 64  # small-tier floor
+    assert SLIC._pad_dim(100) == 128
     assert SLIC._pad_dim(200) == 256
     assert SLIC._pad_dim(300) == 320
     assert SLIC._pad_dim(537) == 576
     assert SEG._pow2_bucket(537) == 768  # coarse score tiers
     assert SEG._pow2_bucket(200) == 256 and SEG._pow2_bucket(1100) == 1152
-    # Batch rows: multiples of 4 (min 4).
-    assert SLIC._pad_batch(1) == 4 and SLIC._pad_batch(9) == 12
+    # SLIC batch rows: {1, 2} exact, then multiples of 4.
+    assert SLIC._pad_batch(1) == 1 and SLIC._pad_batch(2) == 2
+    assert SLIC._pad_batch(3) == 4 and SLIC._pad_batch(9) == 12
     # Huge-row buckets pad exactly (the 22 MP single-region case).
     assert SEG._pad_batch(1, 22_000_000) == 1
     assert SEG._pad_batch(3, 1000) == 4
