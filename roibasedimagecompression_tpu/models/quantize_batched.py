@@ -365,6 +365,50 @@ def _pad_kmax(k: int) -> int:
 
 
 
+def _assign_trivial_runs(cluster_keys, colors, starts, sizes_inout, eps,
+                         key_base) -> np.int64:
+    """One-component eps-CC shortcut: label runs whose palette bbox diagonal
+    is <= eps without a device sweep.
+
+    Exactness: every pairwise distance within a run is bounded by its
+    bounding-box diagonal, so diag2 <= eps2 makes the eps-graph complete —
+    the device sweep would label every point with the run minimum (one
+    component), which is what one shared key reproduces.  The comparison
+    runs in float32 to mirror the kernel predicate (d2 <= eps2,
+    ops/cluster.py:86,98); uint8-color squares are exact in f32.
+
+    Mutates `cluster_keys` (one fresh key per trivial run, starting at
+    key_base) and zeroes `sizes_inout` for skipped runs (excluding them from
+    the device buckets).  Returns the number of keys consumed.
+    """
+    valid = np.flatnonzero(sizes_inout > 0)
+    if len(valid) == 0:
+        return np.int64(0)
+    n = len(colors)
+    st = starts[valid].astype(np.int64)
+    en = st + sizes_inout[valid]
+    # Segmented min/max via reduceat over explicit [start, end) bounds — the
+    # runs need not partition `colors` (tier-2/3 skips pinned black pairs, so
+    # gaps exist between runs).  An end of n is dropped (reduceat's trailing
+    # segment already extends to the end); gap segments starting at other
+    # ends are computed but never selected.
+    bounds = np.unique(np.concatenate([st, en[en < n]]))
+    seg_of_run = np.searchsorted(bounds, st)
+    cmin = np.minimum.reduceat(colors, bounds, axis=0)[seg_of_run]
+    cmax = np.maximum.reduceat(colors, bounds, axis=0)[seg_of_run]
+    # Single-element runs get their own point back regardless of bounds.
+    diag2 = ((cmax - cmin).astype(np.float32) ** 2).sum(axis=1)
+    diag2[sizes_inout[valid] == 1] = 0.0
+    eps2 = eps[valid].astype(np.float32) ** 2
+    triv = valid[diag2 <= eps2]
+    if len(triv) == 0:
+        return np.int64(0)
+    flat_pos, flat_row, _ = _flat_run_positions(starts[triv], sizes_inout[triv])
+    cluster_keys[flat_pos] = key_base + flat_row
+    sizes_inout[triv] = 0
+    return np.int64(len(triv))
+
+
 def tier1_colors(
     image_rgb: np.ndarray,
     seg_map: np.ndarray,
@@ -494,6 +538,16 @@ def tier1_table(
         big = np.flatnonzero(sizes >= cfg.KMEANS_SWITCH_COLORS)
         small_sizes = sizes.copy()
         small_sizes[big] = 0  # excluded from buckets
+        # One-component shortcut (exact): if a run's palette bounding-box
+        # diagonal is <= eps, EVERY pairwise distance is <= eps (the diagonal
+        # bounds all pairs), so the eps-graph is complete and the sweep's
+        # min-index labels are all 0 — assign one key per run and skip the
+        # device call.  f32 arithmetic mirrors the kernel predicate
+        # (d2 <= eps2, ops/cluster.py); integer-color squares are f32-exact.
+        n_trivial = _assign_trivial_runs(
+            cluster_keys, colors, starts, small_sizes, eps, key_base
+        )
+        key_base += n_trivial
         colors_dev = _colors_device(colors, mesh)
         # Dispatch all buckets, then collect (overlaps device round-trips).
         pending = []
@@ -771,6 +825,11 @@ def cluster_pair_table(
         big = np.flatnonzero(nb_sizes >= cfg.KMEANS_SWITCH_COLORS)
         small_sizes = nb_sizes.copy()
         small_sizes[big] = 0
+        # One-component bbox shortcut (see _assign_trivial_runs) — exact.
+        n_trivial = _assign_trivial_runs(
+            cluster_keys, colors, nb_starts, small_sizes, eps, key_base
+        )
+        key_base += n_trivial
         colors_dev = _colors_device(colors, mesh)
         # Dispatch all buckets, then collect (overlaps device round-trips).
         pending = []
