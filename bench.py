@@ -133,7 +133,7 @@ def main():
     codec.encode(bench_imgs[0], cfg)
     single = time.perf_counter() - t0
 
-    # Interactive preset latency (fast_edges + mediancut split + ld-7):
+    # Interactive preset latency (fast_edges + wide-margin split + ld-7):
     # one compile-and-discard pass, then the warm measurement.
     ll_cfg = CodecConfig.low_latency(
         roi_quality=cfg.roi_quality, nonroi_quality=cfg.nonroi_quality

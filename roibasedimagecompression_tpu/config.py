@@ -186,17 +186,23 @@ class CodecConfig:
     # on Kodak index matrices: ld-10 beats zlib-9 on size (-5.4%) at equal
     # host cost; ld-7 is 5x faster at +0.9% size.
     container_level: int = 10
-    # Oversized-cluster splitting method.  "kmeans" mirrors the reference's
-    # recursive KMeans split (clustering.py:720-775).  "mediancut" is a
-    # vectorized host median-cut (recursive binary PCA cuts per cluster — the
-    # spiritual upgrade of the reference's luminance-sort fallback,
-    # clustering.py:778-801) with ZERO device round trips, vs. hundreds of
-    # bucketed k-means launches per batch.  Both satisfy the
-    # max_colors_per_cluster law; mediancut stops at ~the minimal cluster
-    # count while the k-means recursion overshoots, so mediancut lands at a
-    # lower-rate R-D point for the same quality knob (measured on 128px
-    # Lenna: 29.1 dB @ 3.75 bpp / 32 colors vs 33.7 dB @ 5.34 bpp / 100).
-    split_method: str = "kmeans"
+    # Oversized-cluster splitting method.  "hybrid" (default) sends only
+    # clusters above 64 colors to device k-means and resolves the tail —
+    # thousands of tiny problems whose serial device waves dominated the
+    # split stage — with vectorized host PCA median cuts run to limit/margin
+    # within the level.  Measured on the FULL Kodak-24 at the standard
+    # preset: 34.279 dB @ 2.954 bpp vs "kmeans" at 34.267 dB @ 2.923 bpp
+    # (R-D equal) at 2.2x the end-to-end encode speed.  "kmeans" mirrors the
+    # reference's recursive KMeans split for every cluster
+    # (clustering.py:720-775).  "mediancut" is the all-host variant
+    # (recursive binary PCA cuts per cluster — the spiritual upgrade of the
+    # reference's luminance-sort fallback, clustering.py:778-801) with ZERO
+    # device round trips; it stops at ~the minimal cluster count while the
+    # k-means recursion overshoots, so it lands at a lower-rate R-D point
+    # for the same quality knob (measured on 128px Lenna: 29.1 dB @ 3.75 bpp
+    # / 32 colors vs 33.7 dB @ 5.34 bpp / 100).  All modes satisfy the
+    # max_colors_per_cluster law.  Env override: RHCCQ_SPLIT_METHOD.
+    split_method: str = "hybrid"
     # Over-provisioning factor for the split cluster count:
     # k = min(max(2, ceil(n*margin / max_colors)), n).  max_colors_per_cluster
     # is a MAX constraint, so margin > 1 never violates the law — it feeds
