@@ -291,3 +291,51 @@ def test_hierarchical_palette_clustering():
     # No-op above the target.
     same_pal, same_idx = Q.hierarchical_palette_clustering(palette, indices, 100.0)
     assert np.array_equal(same_pal, palette)
+
+
+def test_assign_trivial_runs_bbox_shortcut(rng):
+    """The eps-CC bbox shortcut labels exactly the runs whose palette
+    bounding-box diagonal is <= eps, handles gaps between runs (tier-2/3
+    skips pinned black pairs), size-1 runs, and a run ending at n."""
+    from roibasedimagecompression_tpu.models import quantize_batched as QB
+
+    colors = np.zeros((12, 3), np.float32)
+    colors[0:3] = [[10, 10, 10], [12, 10, 10], [10, 13, 10]]   # diag ~3.6
+    colors[3] = [99, 99, 99]                                   # gap entry
+    colors[4:6] = [[0, 0, 0], [200, 200, 200]]                 # diag ~346
+    colors[6] = [42, 0, 7]                                     # size-1 run
+    colors[7] = [77, 77, 77]                                   # gap entry
+    colors[8:12] = [[5, 5, 5], [6, 5, 5], [5, 6, 5], [5, 5, 7]]  # ends at n
+    starts = np.array([0, 4, 6, 8], np.int64)
+    sizes = np.array([3, 2, 1, 4], np.int64)
+    eps = np.array([10.0, 10.0, 10.0, 10.0], np.float32)
+    keys = np.full(12, -1, np.int64)
+    n = QB._assign_trivial_runs(keys, colors, starts, sizes, eps, np.int64(100))
+    # Runs 0 (diag 3.6), 2 (singleton), 3 (diag ~2.4) are trivial; run 1 is not.
+    assert n == 3
+    assert sizes.tolist() == [0, 2, 0, 0]
+    assert keys[0] == keys[1] == keys[2]
+    assert keys[6] != keys[0] and keys[6] >= 100
+    assert keys[8] == keys[9] == keys[10] == keys[11]
+    assert keys[3] == keys[7] == -1 and keys[4] == keys[5] == -1
+    # Exactly n fresh keys, all >= key_base.
+    used = {int(keys[0]), int(keys[6]), int(keys[8])}
+    assert len(used) == 3 and all(k >= 100 for k in used)
+
+    # Borderline exactness: diagonal exactly eps is trivial (d2 <= eps2).
+    colors2 = np.array([[0, 0, 0], [3, 4, 0]], np.float32)  # diag = 5
+    keys2 = np.full(2, -1, np.int64)
+    sizes2 = np.array([2], np.int64)
+    n2 = QB._assign_trivial_runs(
+        keys2, colors2, np.array([0], np.int64), sizes2,
+        np.array([5.0], np.float32), np.int64(0),
+    )
+    assert n2 == 1 and sizes2[0] == 0
+    # ... and a hair below eps is not.
+    keys3 = np.full(2, -1, np.int64)
+    sizes3 = np.array([2], np.int64)
+    n3 = QB._assign_trivial_runs(
+        keys3, colors2, np.array([0], np.int64), sizes3,
+        np.array([4.999], np.float32), np.int64(0),
+    )
+    assert n3 == 0 and sizes3[0] == 2 and keys3[0] == -1
