@@ -161,7 +161,7 @@ def main(argv=None):
         "see RD_SPLIT_METHODS.json)",
     )
     p.add_argument(
-        "--split-margin", type=float, default=1.5,
+        "--split-margin", type=float, default=2.0,
         help="over-provision the split cluster count by this factor (MAX-law "
         "compliant; >1 improves R-D and cuts split recursion depth — see "
         "RD_SPLIT_METHODS.json)",

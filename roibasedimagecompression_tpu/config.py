@@ -210,9 +210,13 @@ class CodecConfig:
     # level by level.  Measured (full-res Kodak x6, CPU): margin 2-3 sits
     # +0.7-1.0 dB ABOVE the margin-1 R-D curve at matched rate AND cuts the
     # split recursion to ~1-2 levels (fewer serial device waves, faster).
-    # Env override: RHCCQ_SPLIT_MARGIN.  Default 1.5: +0.54 dB at +0.4% bpp
-    # vs margin 1 at the standard preset (full-res measurement above).
-    split_margin: float = 1.5
+    # Margin ladder with the hybrid split (same 6 images): 1.5 = 33.32 dB
+    # @ 3.254 bpp, 2.0 = 34.56 @ 3.526, 2.5 = 34.91 @ 3.714 — the 1.5->2.0
+    # step earns 4.6 dB/bpp (the quality-knob ladder pays ~2.6 dB/bpp, so
+    # 2.0 is ~+0.55 dB above the curve at matched rate) while 2.5's marginal
+    # slope drops below the ladder.  Default 2.0; env override:
+    # RHCCQ_SPLIT_MARGIN.
+    split_margin: float = 2.0
     # Weight the oversized-split k-means by per-color PIXEL counts (weighted
     # ++ sampling and Lloyd updates) so split PARTITIONS minimize pixel-level
     # MSE instead of palette-entry MSE.  The reference splits palette entries
