@@ -29,7 +29,40 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _probe_backend() -> bool:
+    """Bounded liveness probe of the default (TPU) backend, in a subprocess.
+
+    The axon TPU backend has a measured failure mode where jax.devices()
+    blocks for tens of minutes before raising (wedged worker / orphaned
+    remote-compile jobs).  Probing in a separate process with a timeout keeps
+    THIS process clean: on failure we fall back to the CPU backend in-process
+    (RHCCQ_FORCE_CPU path) and say so in the output, instead of hanging the
+    driver's bench run.  The probe only initializes the backend (no compile),
+    so killing it on timeout cannot orphan remote compile jobs.
+    """
+    import subprocess
+
+    timeout = float(os.environ.get("RHCCQ_TPU_PROBE_TIMEOUT", "300"))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "assert d, d; print(d[0].platform)"],
+            capture_output=True, timeout=timeout, text=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if (os.environ.get("RHCCQ_FORCE_CPU") != "1"
+            and "cpu" not in os.environ.get("JAX_PLATFORMS", "").lower()
+            and not _probe_backend()):
+        log("backend probe failed/timed out -> forcing CPU backend "
+            "(set RHCCQ_TPU_PROBE_TIMEOUT to wait longer)")
+        os.environ["RHCCQ_FORCE_CPU"] = "1"
+
     import jax
 
     # The persistent compilation cache is enabled by the package import
@@ -197,6 +230,7 @@ def main():
                 "value": round(mpps, 5),
                 "unit": "MP/s",
                 "vs_baseline": round(mpps / 1.0, 5),
+                "backend": jax.default_backend(),
                 "psnr_db": round(float(np.mean(psnrs)), 2),
                 "ssim": round(float(np.mean(ssims)), 4),
                 "bpp": round(float(np.mean(bpps)), 3),
