@@ -505,7 +505,7 @@ def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
             from roibasedimagecompression_tpu.models import roi_fused as ROI
             from roibasedimagecompression_tpu.ops import canny as CANNY
 
-            low, high, _, _ = CANNY.select_thresholds(image_rgb)
+            low, high = CANNY.select_thresholds_pair(image_rgb)
             roi_mask, nonroi_mask = ROI.roi_masks_fast(image_rgb, config, low, high)
             roi_regions, nonroi_regions = _extract_and_assign(
                 image_rgb, roi_mask, nonroi_mask, config, min_size

@@ -197,7 +197,7 @@ def roi_masks(image_rgb: np.ndarray, config: cfg.CodecConfig):
             jnp.asarray(image_rgb), config.roi, jnp.float32(low), jnp.float32(high)
         )
         return np.asarray(roi), np.asarray(nonroi)
-    low, high, _, _ = CANNY.select_thresholds(image_rgb)
+    low, high = CANNY.select_thresholds_pair(image_rgb)
     roi, nonroi = roi_masks_device(
         jnp.asarray(image_rgb), config.roi, jnp.float32(low), jnp.float32(high)
     )

@@ -451,6 +451,22 @@ def select_thresholds(image_rgb: np.ndarray):
     return float(low), float(high), mag_c, nms_c
 
 
+def select_thresholds_pair(image_rgb: np.ndarray):
+    """Adaptive (low, high) only — no color gradient/NMS ride-along.
+
+    The mask-building callers (roi_masks_fast -> native roi_pipeline)
+    recompute the color gradient internally, so select_thresholds'
+    ride-along tensors are dead weight there: on the native path they cost
+    an extra full-image gradient+NMS pass (~15 ms/image on this host) that
+    this variant skips.
+    """
+    pair = _select_thresholds_native(image_rgb)
+    if pair is not None:
+        return pair
+    low, high, _, _ = select_thresholds(image_rgb)
+    return low, high
+
+
 def select_thresholds_many(images: np.ndarray):
     """Batched adaptive threshold selection.
 
