@@ -41,6 +41,8 @@ def _sobel_replicate(gray: jnp.ndarray):
 
     def conv(k):
         # Correlation — cv2.Sobel semantics (sign feeds the NMS sector logic).
+        # No HIGHEST needed: u8 values (<= 255) and +-1/+-2 taps are exact in
+        # the TPU's bf16 multiply, and accumulation is f32.
         out = jax.lax.conv_general_dilated(
             g[None, None],
             k[None, None],

@@ -256,6 +256,10 @@ def kmeans(
                 oh, rows,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # HIGHEST: with weights, oh entries are pixel counts (> 2^8,
+                # inexact in the TPU's default bf16 multiply); exact centers
+                # keep TPU bytes identical to the f32 CPU path.
+                precision=jax.lax.Precision.HIGHEST,
             )
             return (sums, counts + oh.sum(axis=0)), None
 

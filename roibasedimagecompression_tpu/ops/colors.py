@@ -8,6 +8,7 @@ rgb2lab reproduces skimage.color.rgb2lab (sRGB -> linear -> XYZ D65 -> CIELAB).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -46,7 +47,10 @@ def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
     """
     s = rgb.astype(jnp.float32) / 255.0
     linear = jnp.where(s > 0.04045, ((s + 0.055) / 1.055) ** 2.4, s / 12.92)
-    xyz = linear @ _RGB2XYZ.T
+    # HIGHEST: the TPU default matmul precision multiplies in bf16; Lab feeds
+    # SLIC features and the split score, so demoted products would flip
+    # segment labels vs the exact f32 CPU path (cross-backend byte identity).
+    xyz = jnp.matmul(linear, _RGB2XYZ.T, precision=jax.lax.Precision.HIGHEST)
     t = xyz / _XYZ_REF
     eps = 0.008856  # (6/29)^3
     kappa_term = 7.787 * t + 16.0 / 116.0
@@ -90,7 +94,9 @@ def lab_to_rgb(lab: jnp.ndarray) -> jnp.ndarray:
         return jnp.where(f > eps, f**3, (f - 16.0 / 116.0) / 7.787)
 
     xyz = jnp.stack([inv_f(fx), inv_f(fy), inv_f(fz)], axis=-1) * _XYZ_REF
-    linear = xyz @ jnp.linalg.inv(_RGB2XYZ).T
+    linear = jnp.matmul(
+        xyz, jnp.linalg.inv(_RGB2XYZ).T, precision=jax.lax.Precision.HIGHEST
+    )
     s = jnp.where(
         linear > 0.0031308, 1.055 * jnp.maximum(linear, 1e-12) ** (1 / 2.4) - 0.055,
         12.92 * linear,

@@ -34,6 +34,10 @@ def conv2d_same(x: jnp.ndarray, kernel: jnp.ndarray, *, reflect: bool = True) ->
         kernel.astype(jnp.float32)[None, None],
         window_strides=(1, 1),
         padding=padding,
+        # HIGHEST: box/Gaussian weights (e.g. 1/k^2) are inexact under the
+        # TPU default bf16 multiply; density thresholds and score windows
+        # must match the exact f32 CPU path bit-for-bit.
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0, 0]
 
@@ -146,6 +150,7 @@ def conv2d_same_multi(x: jnp.ndarray, kernels: jnp.ndarray, *, reflect: bool = T
         kernels.astype(jnp.float32)[:, None],
         window_strides=(1, 1),
         padding=padding,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0]
 

@@ -148,6 +148,11 @@ def _slic_core(
                     rows, centers,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    # HIGHEST: this fallback also runs on TPU when the pallas
+                    # kernel is disabled; the default bf16 multiply would
+                    # flip borderline argmins vs the exact f32 CPU/pallas
+                    # paths and break cross-backend byte identity.
+                    precision=jax.lax.Precision.HIGHEST,
                 )
             )
             d2 = jnp.where(center_valid[None, :], d2, big)
@@ -173,6 +178,10 @@ def _slic_core(
                 oh, rows,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # HIGHEST: feats carry spatial coordinates (> 2^8, inexact
+                # under the TPU default bf16 multiply); exact center updates
+                # keep TPU segment labels identical to the f32 CPU path.
+                precision=jax.lax.Precision.HIGHEST,
             )
             return (sums, counts + oh.sum(axis=0)), None
 
