@@ -262,3 +262,14 @@ def test_native_paint_masked_indices_matches_numpy():
         want = np.zeros((16, 24), dt)
         want[mask] = idx_of_pair[inv].astype(dt)
         assert np.array_equal(out, want)
+
+
+def test_select_thresholds_pair_matches_full(lenna128):
+    """select_thresholds_pair must pick the same (low, high) as the full
+    variant — it only skips the color gradient/NMS ride-along that the
+    mask-building callers recompute anyway."""
+    from roibasedimagecompression_tpu.ops import canny as CANNY
+
+    low, high, _, _ = CANNY.select_thresholds(lenna128)
+    low_p, high_p = CANNY.select_thresholds_pair(lenna128)
+    assert (low_p, high_p) == (low, high)
