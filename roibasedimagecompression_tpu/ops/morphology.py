@@ -54,6 +54,8 @@ def _hit_count(x: jnp.ndarray, se: jnp.ndarray, pad_value: float) -> jnp.ndarray
         constant_values=pad_value,
     )
     # Correlation footprint (cv2 morphology does not mirror the SE).
+    # Default precision is fine: mask and SE entries are 0/1, exact in the
+    # TPU's bf16 multiply, and accumulation is f32.
     out = jax.lax.conv_general_dilated(
         x[None, None],
         se.astype(jnp.float32)[None, None],

@@ -188,3 +188,37 @@ def test_propagate_labels_long_snake(rng):
             mask[r + 1, -1 if (r // 2) % 2 == 0 else 0] = True
     labels, num = CC.connected_components(mask, 8, prefer_native=False)
     assert num == 2  # one snake + background
+
+
+def test_mxu_ops_pin_precision_or_document_exactness():
+    """Cross-backend byte-identity contract: every MXU-lowered op in the
+    package (dot_general / conv_general_dilated / matmul) must either pass
+    an explicit `precision=` (the TPU default multiplies in bf16, which
+    rounds operands with > 8 significant bits and flips downstream argmin /
+    threshold decisions vs the exact f32 CPU path) or carry a comment
+    within the call's preceding lines explaining why bf16 is exact for its
+    operands (e.g. u8 values with +-1/+-2 taps)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "roibasedimagecompression_tpu"
+    pattern = re.compile(r"dot_general\(|conv_general_dilated\(|jnp\.matmul\(|jnp\.dot\(")
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if not pattern.search(line):
+                continue
+            stripped = line.split("#")[0]
+            if not pattern.search(stripped):
+                continue  # only a comment/docstring mention
+            if "def " in stripped or "over" in stripped:
+                continue  # prose/docstring line
+            window = "\n".join(lines[max(0, i - 8): i + 10])
+            if "precision" in window or "bf16-exact" in window or "exact in" in window:
+                continue
+            offenders.append(f"{path.name}:{i + 1}: {line.strip()}")
+    assert not offenders, (
+        "MXU ops without explicit precision or a bf16-exactness comment:\n"
+        + "\n".join(offenders)
+    )
