@@ -351,13 +351,44 @@ inline int clampi(int i, int lo, int hi) {
 }
 
 // k x k window count of non-zero pixels, REFLECT_101 borders (the normalized
-// box filter's numerator; density = count / k^2).
-void box_count(const uint8_t* m, int h, int w, int k, int32_t* out) {
+// box filter's numerator; density = count / k^2).  Two accumulator widths,
+// kept textually in sync (extern "C" forbids templates): int32 is exact
+// whenever the PADDED area fits in it (~2x less memory traffic on this
+// bandwidth-bound pass); int64 covers foreground-dense images just under
+// the callers' 2^31 h*w guard whose reflect padding overflows int32.
+static void box_count_i32(const uint8_t* m, int h, int w, int k,
+                          int32_t* out) {
   const int p = k / 2;
   const int ph = h + 2 * p, pw = w + 2 * p;
-  // Integral image over the reflect-padded mask.  int64 accumulator: the
-  // callers' 2^31 guard bounds h*w only, so a foreground-dense image just
-  // under the guard could overflow an int32 over the (h+2p)x(w+2p) padding.
+  std::vector<int32_t> integral(static_cast<size_t>(ph + 1) * (pw + 1), 0);
+  for (int r = 0; r < ph; ++r) {
+    const int sr = reflect101(r - p, h);
+    int32_t row_sum = 0;
+    const int32_t* up = &integral[static_cast<size_t>(r) * (pw + 1)];
+    int32_t* cur = &integral[static_cast<size_t>(r + 1) * (pw + 1)];
+    cur[0] = 0;
+    for (int c = 0; c < pw; ++c) {
+      const int sc = reflect101(c - p, w);
+      row_sum += m[static_cast<int64_t>(sr) * w + sc] ? 1 : 0;
+      cur[c + 1] = up[c + 1] + row_sum;
+    }
+  }
+  for (int r = 0; r < h; ++r) {
+    for (int c = 0; c < w; ++c) {
+      const int r0 = r, r1 = r + k, c0 = c, c1 = c + k;  // padded coords
+      out[static_cast<int64_t>(r) * w + c] =
+          integral[static_cast<size_t>(r1) * (pw + 1) + c1] -
+          integral[static_cast<size_t>(r0) * (pw + 1) + c1] -
+          integral[static_cast<size_t>(r1) * (pw + 1) + c0] +
+          integral[static_cast<size_t>(r0) * (pw + 1) + c0];
+    }
+  }
+}
+
+static void box_count_i64(const uint8_t* m, int h, int w, int k,
+                          int32_t* out) {
+  const int p = k / 2;
+  const int ph = h + 2 * p, pw = w + 2 * p;
   std::vector<int64_t> integral(static_cast<size_t>(ph + 1) * (pw + 1), 0);
   for (int r = 0; r < ph; ++r) {
     const int sr = reflect101(r - p, h);
@@ -381,6 +412,15 @@ void box_count(const uint8_t* m, int h, int w, int k, int32_t* out) {
           integral[static_cast<size_t>(r0) * (pw + 1) + c0]);
     }
   }
+}
+
+void box_count(const uint8_t* m, int h, int w, int k, int32_t* out) {
+  const int p = k / 2;
+  const int64_t padded = static_cast<int64_t>(h + 2 * p) * (w + 2 * p);
+  if (padded < (int64_t{1} << 31))
+    box_count_i32(m, h, w, k, out);
+  else
+    box_count_i64(m, h, w, k, out);
 }
 
 // Exact squared Euclidean distance (foreground pixel -> nearest background),
