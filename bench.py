@@ -151,10 +151,14 @@ def main():
     mp = sum(im.shape[0] * im.shape[1] for im in bench_imgs) / 1e6
     mpps = mp / dt
 
-    # Quality/rate over the measured batch.
+    # Quality/rate over the measured batch (the decode loop doubles as the
+    # decode-throughput measurement — reference decode is minutes/image of
+    # per-pixel Python, decoder/uncompression/uncompression.py).
     psnrs, ssims, bpps, colors = [], [], [], []
-    for im, data in zip(bench_imgs, blobs):
-        rec = codec.decode(data)
+    t_dec = time.perf_counter()
+    recs = [codec.decode(data) for data in blobs]
+    decode_mpps = mp / (time.perf_counter() - t_dec)
+    for im, data, rec in zip(bench_imgs, blobs, recs):
         q = M.quality_metrics(im, rec)
         psnrs.append(q["psnr"])
         ssims.append(q["ssim"])
@@ -236,6 +240,7 @@ def main():
                 "bpp": round(float(np.mean(bpps)), 3),
                 "palette_colors": int(np.mean(colors)),
                 "batch_images": len(bench_imgs),
+                "decode_mpps": round(decode_mpps, 3),
                 "single_image_seconds": round(single, 2),
                 "single_image_low_latency_seconds": round(single_ll, 2),
             }
