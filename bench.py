@@ -108,9 +108,13 @@ def main():
     # than a 2-batch run, where both threads hit device-heavy phases together.
     mirrored = [np.ascontiguousarray(im[:, ::-1]) for im in bench_imgs]
     all_imgs = bench_imgs + mirrored
-    half = max(1, len(bench_imgs) // 2)
+    # Batch size knob: bigger device batches amortize launches and pack the
+    # padded buckets denser; smaller ones overlap better across workers.
+    bsz = int(os.environ.get("RHCCQ_BENCH_BATCH", "0")) or max(
+        1, len(bench_imgs) // 2
+    )
     bench_batches = [
-        bench_imgs[:half], bench_imgs[half:], mirrored[:half], mirrored[half:]
+        all_imgs[i: i + bsz] for i in range(0, len(all_imgs), bsz)
     ]
     bench_imgs = all_imgs
 
