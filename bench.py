@@ -137,7 +137,7 @@ def main():
     log(f"warm-up encode 1: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     stream.encode_stream(bench_batches, cfg)
-    log(f"warm-up encode_stream {len(bench_batches)}x{half}: {time.perf_counter() - t0:.1f}s")
+    log(f"warm-up encode_stream {len(bench_batches)}x{bsz}: {time.perf_counter() - t0:.1f}s")
 
     # Measured run: best of two passes (host timing on this single-core VM
     # is noisy — page-fault storms swing individual host stages by seconds).
