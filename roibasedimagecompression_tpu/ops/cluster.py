@@ -217,7 +217,14 @@ def kmeans(
         centers0 = jnp.zeros((k_max, d), jnp.float32).at[0].set(points[first])
         min_d2 = jnp.sum((points - points[first][None, :]) ** 2, axis=1)
         min_d2 = jnp.where(valid, min_d2, 0.0)
-        centers, _, _ = jax.lax.fori_loop(1, k_max, init_step, (centers0, min_d2, key))
+        # Dynamic trip count: steps i >= k are masked no-ops (the key splits
+        # they consume feed nothing earlier), so bounding the loop by the
+        # REAL k is bit-identical and cuts the init's sequential depth —
+        # k_max is a pow2 shape bucket, often several times k, and this
+        # sequential chain dominates the split kernels' device latency.
+        centers, _, _ = jax.lax.fori_loop(
+            1, jnp.maximum(k, 1), init_step, (centers0, min_d2, key)
+        )
     else:
         # Seeded random distinct-point init (large-k path, one shot).
         scores = jax.random.uniform(key, (m,)) + jnp.where(valid, 0.0, 2.0)
