@@ -43,16 +43,31 @@ def _probe_backend() -> bool:
     import subprocess
 
     timeout = float(os.environ.get("RHCCQ_TPU_PROBE_TIMEOUT", "300"))
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; d = jax.devices(); "
-             "assert d, d; print(d[0].platform)"],
-            capture_output=True, timeout=timeout, text=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    # Outages measured on this backend last minutes-to-hours but end abruptly;
+    # a single probe that happens to land mid-outage would demote the whole
+    # bench to the CPU backend.  Retry within a bounded budget instead (the
+    # driver's own run timeout is far longer than this).
+    budget = float(os.environ.get("RHCCQ_TPU_PROBE_BUDGET", "1500"))
+    t0 = time.perf_counter()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "assert d, d; print(d[0].platform)"],
+                capture_output=True, timeout=timeout, text=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.perf_counter() - t0 + timeout > budget:
+            return False
+        log(f"backend probe attempt {attempt} failed; retrying "
+            f"({time.perf_counter() - t0:.0f}s of {budget:.0f}s budget)")
+        time.sleep(30)
 
 
 def main():
