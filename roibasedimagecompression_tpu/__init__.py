@@ -33,6 +33,48 @@ def _host_fingerprint() -> str:
     return hashlib.sha256(feats.encode()).hexdigest()[:12]
 
 
+def _seed_from_warm_pack(target: str, pack: str | None = None) -> None:
+    """Seed the compilation cache from the committed warm pack (warm_cache/).
+
+    A fresh checkout pays real compiles for every graph — minutes each
+    through this environment's remote-compile tunnel, even with the manifest
+    prewarm collapsing them into one concurrent wave.  The repo therefore
+    ships the bench-path executables themselves (scripts/build_warm_cache.py
+    regenerates the pack on the real chip): TPU entries are compiled remotely
+    and host-independent; CPU entries are AOT code keyed by a host
+    fingerprint (cpu-<hash>/ subdirs) so a different host never loads them
+    (cf. the cpu_aot_loader SIGILL hazard documented above).  Entries are
+    hardlinked when possible and never overwrite newer local ones.
+    """
+    if pack is None:
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        pack = _os.path.join(repo, "warm_cache")
+    if not _os.path.isdir(pack) or _os.environ.get("RHCCQ_WARM_PACK") == "0":
+        return
+    import shutil
+
+    def _sync(src_dir: str, dst_dir: str) -> None:
+        _os.makedirs(dst_dir, exist_ok=True)
+        for name in _os.listdir(src_dir):
+            src = _os.path.join(src_dir, name)
+            dst = _os.path.join(dst_dir, name)
+            if _os.path.isdir(src):
+                _sync(src, dst)
+            elif not _os.path.exists(dst):
+                try:
+                    _os.link(src, dst)
+                except OSError:
+                    try:
+                        shutil.copyfile(src, dst)
+                    except OSError:
+                        pass  # a partial seed is still a valid cache
+
+    try:
+        _sync(pack, target)
+    except OSError:
+        pass
+
+
 def _enable_compilation_cache() -> None:
     """Persist XLA executables across processes (opt out: RHCCQ_JAX_CACHE=0).
 
@@ -57,6 +99,7 @@ def _enable_compilation_cache() -> None:
     # cache by a host fingerprint so each machine reuses only its own
     # entries; TPU entries stay in the shared base dir (compiled remotely,
     # host-independent).
+    _seed_from_warm_pack(target)
     if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
         target = _os.path.join(target, f"cpu-{_host_fingerprint()}")
     try:

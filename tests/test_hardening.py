@@ -143,3 +143,35 @@ def test_shape_bucket_policies():
     assert QB._pad_batch(300) == 320
     # k padding: pow2.
     assert QB._pad_kmax(40) == 64
+
+
+def test_warm_pack_seeding(tmp_path):
+    """warm_cache/ entries hardlink into the cache dir recursively without
+    clobbering existing local files (cold-start pack,
+    scripts/build_warm_cache.py)."""
+    import roibasedimagecompression_tpu as rtc
+
+    pack = tmp_path / "warm_cache"
+    (pack / "cpu-abc").mkdir(parents=True)
+    (pack / "jit_f-123-cache").write_bytes(b"tpu-entry")
+    (pack / "jit_h-789-cache").write_bytes(b"tpu-entry-2")
+    (pack / "cpu-abc" / "jit_g-456-cache").write_bytes(b"cpu-entry")
+    target = tmp_path / "cache"
+    target.mkdir()
+    (target / "jit_f-123-cache").write_bytes(b"local-newer")
+
+    rtc._seed_from_warm_pack(str(target), pack=str(pack))
+    assert (target / "jit_f-123-cache").read_bytes() == b"local-newer"
+    assert (target / "jit_h-789-cache").read_bytes() == b"tpu-entry-2"
+    assert (target / "cpu-abc" / "jit_g-456-cache").read_bytes() == b"cpu-entry"
+
+    # RHCCQ_WARM_PACK=0 disables seeding entirely.
+    import os
+
+    (pack / "jit_new-cache").write_bytes(b"x")
+    os.environ["RHCCQ_WARM_PACK"] = "0"
+    try:
+        rtc._seed_from_warm_pack(str(target), pack=str(pack))
+    finally:
+        del os.environ["RHCCQ_WARM_PACK"]
+    assert not (target / "jit_new-cache").exists()
