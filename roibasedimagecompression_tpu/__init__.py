@@ -15,22 +15,34 @@ import os as _os
 
 
 def _host_fingerprint() -> str:
-    """Short hash of the CPU feature set (ISA flags, not core count)."""
+    """Short hash of the CPU identity (model + ISA flags, not core count).
+
+    Flags alone are NOT enough: two hosts in this fleet report identical
+    /proc/cpuinfo flags yet XLA detects different target machines (its
+    model-derived scheduling features, e.g. prefer-no-gather, differ), so
+    their AOT entries collided under one fingerprint and the loader warned
+    of potential SIGILL.  Include the model identity fields too.
+    """
     import hashlib
 
+    feats = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
-            else:
-                feats = "none"
+                key = line.split(":", 1)[0].strip()
+                if key in ("vendor_id", "cpu family", "model", "model name",
+                           "stepping", "microcode"):
+                    feats.append(line.strip())
+                elif key == "flags":
+                    feats.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                    break  # one logical CPU is enough
     except OSError:
+        pass
+    if not feats:
         import platform
 
-        feats = platform.processor() or platform.machine()
-    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+        feats = [platform.processor() or platform.machine()]
+    return hashlib.sha256("\n".join(feats).encode()).hexdigest()[:12]
 
 
 def _seed_from_warm_pack(target: str, pack: str | None = None) -> None:
@@ -100,7 +112,8 @@ def _enable_compilation_cache() -> None:
     # entries; TPU entries stay in the shared base dir (compiled remotely,
     # host-independent).
     _seed_from_warm_pack(target)
-    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+    if ("cpu" in _os.environ.get("JAX_PLATFORMS", "").lower()
+            or _os.environ.get("RHCCQ_FORCE_CPU") == "1"):
         target = _os.path.join(target, f"cpu-{_host_fingerprint()}")
     try:
         import jax

@@ -225,6 +225,16 @@ class CodecConfig:
     # COLORS are already pixel-weighted means (weighted_palette); kept as an
     # opt-in experiment knob.  Env override: RHCCQ_WEIGHTED_SPLIT=0/1.
     weighted_split: bool = False
+    # Global palette refinement: Lloyd iterations of the FINAL palette
+    # against the tier-1 (color, pixel-mass) table (models/refine.py) —
+    # exactly the pixel-level MSE objective by the bias-variance split, at
+    # cluster-table cost and zero device launches.  The reference has no
+    # counterpart (its tiers emit the merge result directly,
+    # encoder/compression/image.py:243-350); reference-parity configs pin 0.
+    # Skipped when fill_black_holes > 0 (hole filling paints colors at
+    # pixels whose tier-1 color is background-black, which refinement would
+    # repaint).  Env override: RHCCQ_PALETTE_REFINE.
+    palette_refine_iters: int = 0
 
     @classmethod
     def low_latency(cls, **overrides) -> "CodecConfig":

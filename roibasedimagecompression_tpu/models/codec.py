@@ -444,6 +444,24 @@ def tiers23_palette_indices(
             ).astype(np.uint8)
             results.append(palette)
 
+        # ---- global palette refinement (models/refine.py) ------------------
+        # Lloyd on the (cluster color, pixel mass) table against the final
+        # palette: exactly the pixel-MSE objective (bias-variance split),
+        # bit-identical to the canvas form's unique-color rows.
+        from roibasedimagecompression_tpu.models import refine as RF
+
+        refine_iters = RF.effective_iters(config)
+        if refine_iters > 0:
+            for i in range(b):
+                sel = img_of_cluster == i
+                if not sel.any():
+                    continue
+                new_pal, assign = RF.refine_palette(
+                    cluster_colors[sel], w_cluster[sel], results[i], refine_iters
+                )
+                results[i] = new_pal
+                idx_of_cluster[sel] = assign
+
         # ---- the ONE pixel pass: paint palette indices ---------------------
         from roibasedimagecompression_tpu import native
 
@@ -551,6 +569,12 @@ def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
             t3 = t3_list[0]
             palette, indices = U.unique_colors(t3.reshape(-1, 3))
             indices = indices.reshape(h, w)
+            from roibasedimagecompression_tpu.models import refine as RF
+
+            if RF.effective_iters(config) > 0:
+                palette, indices = RF.refine_canvas(
+                    t1, palette, RF.effective_iters(config)
+                )
         else:
             image_of_seg = np.zeros(len(seg_quality), np.int32)
             ((palette, indices),) = tiers23_palette_indices(
@@ -606,6 +630,11 @@ def encode_debug(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -
     t2_list, t3_list = tiers23_colors_many([t1], [group_map], config)
     t2, t3 = t2_list[0], t3_list[0]
     palette, indices = U.unique_colors(t3.reshape(-1, 3))
+    indices = indices.reshape(h, w)
+    from roibasedimagecompression_tpu.models import refine as RF
+
+    if RF.effective_iters(config) > 0:
+        palette, indices = RF.refine_canvas(t1, palette, RF.effective_iters(config))
     return {
         "roi_mask": roi_mask,
         "nonroi_mask": nonroi_mask,
@@ -613,7 +642,7 @@ def encode_debug(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -
         "tier1": t1,
         "tier2": t2,
         "tier3": t3,
-        "data": C.pack(palette, indices.reshape(h, w), level=config.container_level),
+        "data": C.pack(palette, indices, level=config.container_level),
     }
 
 
@@ -674,9 +703,20 @@ def encode(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -> byte
         )
 
     with stage_timer("container"):
-        return container.pack(
-            final.palette, final.indices, level=config.container_level
-        )
+        palette, indices = final.palette, final.indices
+        from roibasedimagecompression_tpu.models import refine as RF
+
+        if RF.effective_iters(config) > 0:
+            # The tier-1 canvas is the merge of all tier-1 components
+            # (first-wins, black never writes — identical to the batched
+            # path's masked cluster paint).
+            t1 = Q.merge_components(
+                roi_comps + nonroi_comps, (0, 0, h, w)
+            ).to_rgb()
+            palette, indices = RF.refine_canvas(
+                t1, palette, RF.effective_iters(config)
+            )
+        return container.pack(palette, indices, level=config.container_level)
 
 
 def decode(source) -> np.ndarray:

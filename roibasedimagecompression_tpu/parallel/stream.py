@@ -251,12 +251,19 @@ def _finish_canvas_path(table, tall_seg, seg_group, batch, config, mesh):
         _, t3_list = CODEC.tiers23_colors_many(t1_list, group_maps, config, mesh=mesh)
 
     def finish(k: int) -> bytes:
+        from roibasedimagecompression_tpu.models import refine as RF
         from roibasedimagecompression_tpu.ops import unique as U
 
         palette, indices = U.unique_colors(t3_list[k].reshape(-1, 3))
-        return container.pack(
-            palette, indices.reshape(h, w), level=config.container_level
-        )
+        indices = indices.reshape(h, w)
+        if RF.effective_iters(config) > 0:
+            # Only reachable via RHCCQ_CANVAS_TIERS (effective_iters gates
+            # itself off under fill_black_holes); must match the table path
+            # byte-for-byte.
+            palette, indices = RF.refine_canvas(
+                t1_list[k], palette, RF.effective_iters(config)
+            )
+        return container.pack(palette, indices, level=config.container_level)
 
     results: list = [None] * b
     with stage_timer("s.container"):
