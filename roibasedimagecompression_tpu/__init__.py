@@ -112,8 +112,24 @@ def _enable_compilation_cache() -> None:
     # entries; TPU entries stay in the shared base dir (compiled remotely,
     # host-independent).
     _seed_from_warm_pack(target)
-    if ("cpu" in _os.environ.get("JAX_PLATFORMS", "").lower()
-            or _os.environ.get("RHCCQ_FORCE_CPU") == "1"):
+    # Platform truth order: the in-process jax config (config.update is the
+    # documented way to force CPU here — the axon site hook exports
+    # JAX_PLATFORMS=axon into every environment, so the env var can be stale),
+    # then the env var.
+    plat = ""
+    import sys as _sys
+
+    if "jax" in _sys.modules:
+        try:
+            plat = _sys.modules["jax"].config.jax_platforms or ""
+        except Exception:
+            plat = ""
+    if not plat:
+        plat = _os.environ.get("JAX_PLATFORMS", "")
+    # jax_platforms may be a fallback chain ("axon,cpu"): the PRIMARY entry
+    # decides which backend actually compiles.
+    primary = plat.split(",")[0].strip().lower()
+    if primary == "cpu" or _os.environ.get("RHCCQ_FORCE_CPU") == "1":
         target = _os.path.join(target, f"cpu-{_host_fingerprint()}")
     try:
         import jax
