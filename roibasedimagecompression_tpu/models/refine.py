@@ -85,17 +85,25 @@ def refine_palette(
     black_idx = int(np.flatnonzero(frozen)[0]) if has_black else -1
     black_rows = (colors == 0).all(axis=1) if has_black else None
 
+    c32 = c.astype(np.float32)
+
     def _assign(p):
-        # d2 rows are exact integers; +inf masks frozen entries for non-black
-        # rows (a black row never reaches argmin — it is pinned below).
-        d2 = (
-            (c * c).sum(axis=1)[:, None]
-            + (p * p).sum(axis=1)[None, :]
-            - 2.0 * (c @ p.T)
-        )
-        if has_black:
-            d2[:, frozen] = np.inf
-        idx = np.argmin(d2, axis=1)
+        # d2 entries are exact integers < 2^19, and every product/partial sum
+        # stays < 2^24 — so f32 GEMM is EXACT (no rounding anywhere), cheaper
+        # than f64, and order-independent.  Chunk over rows so the m x K
+        # distance block stays cache-sized (a full f64 matrix at
+        # m=20k, K=800 cost seconds of page faults on the single-core host).
+        p32 = p.astype(np.float32)
+        p2 = (p32 * p32).sum(axis=1)
+        big = np.float32(np.inf)
+        idx = np.empty(len(c32), np.int64)
+        chunk = 8192
+        for s in range(0, len(c32), chunk):
+            rows = c32[s : s + chunk]
+            d2 = (rows * rows).sum(axis=1)[:, None] + p2[None, :] - 2.0 * (rows @ p32.T)
+            if has_black:
+                d2[:, frozen] = big
+            idx[s : s + chunk] = np.argmin(d2, axis=1)
         if has_black:
             idx[black_rows] = black_idx
         return idx
