@@ -55,6 +55,9 @@ def _cmd_encode(args):
     img = image_io.imread_rgb(args.input)
     if args.enhance_shadows:
         img = enhance_shadows(img)
+    extra = {}
+    if args.palette_refine is not None:
+        extra["palette_refine_iters"] = args.palette_refine
     cfg = CodecConfig(
         roi_quality=args.roi_quality,
         nonroi_quality=args.nonroi_quality,
@@ -62,6 +65,7 @@ def _cmd_encode(args):
         split_method=args.split_method,
         split_margin=args.split_margin,
         container_level=args.container_level,
+        **extra,
     )
     t0 = time.perf_counter()
     data = encode(np.asarray(img), cfg)
@@ -170,6 +174,12 @@ def main(argv=None):
         "--container-level", type=int, default=10,
         help="entropy stage: 0 = byte-compat zlib-9, 1-12 = libdeflate "
         "(7 is ~5x faster than 10 at +5%% size)",
+    )
+    p.add_argument(
+        "--palette-refine", type=int, default=None, metavar="ITERS",
+        help="global palette refinement iterations (Lloyd on the final "
+        "palette against the tier-1 color table; omit to use the config "
+        "default — see RD_REFINE.json)",
     )
     p.set_defaults(fn=_cmd_encode)
 
