@@ -235,6 +235,19 @@ class CodecConfig:
     # pixels whose tier-1 color is background-black, which refinement would
     # repaint).  Env override: RHCCQ_PALETTE_REFINE.
     palette_refine_iters: int = 0
+    # Zero-rate palette refit: ONE exact weighted-mean update of each final
+    # palette entry against the ORIGINAL pixels at fixed indices
+    # (models/refine.py:refit_pixels).  The index stream is untouched, so
+    # the rate is identical up to DEFLATE noise on the palette bytes, and
+    # the MSE strictly decreases: tier-1 cluster colors are rounded /
+    # black-repaired means, so each final entry carries a residual bias
+    # that one centroid step at the pixel level removes.  Measured (8
+    # Kodak, split_margin=1.5): +0.27 dB at identical bpp on the base
+    # pipeline, +0.10 dB on top of palette_refine_iters=2 (RD_REFINE.json).
+    # The reference has no counterpart; reference-parity configs pin False.
+    # Skipped when fill_black_holes > 0 (filled pixels diverge from the
+    # original).  Env override: RHCCQ_PALETTE_REFIT=0/1.
+    palette_refit: bool = True
 
     @classmethod
     def low_latency(cls, **overrides) -> "CodecConfig":

@@ -580,6 +580,9 @@ def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
             ((palette, indices),) = tiers23_palette_indices(
                 table, seg_group, image_of_seg, 1, (h, w), config
             )
+        from roibasedimagecompression_tpu.models import refine as RF
+
+        palette = RF.maybe_refit(image_rgb, palette, indices, config)
 
     with stage_timer("container"):
         return C.pack(palette, indices, level=config.container_level)
@@ -635,6 +638,7 @@ def encode_debug(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -
 
     if RF.effective_iters(config) > 0:
         palette, indices = RF.refine_canvas(t1, palette, RF.effective_iters(config))
+    palette = RF.maybe_refit(image_rgb, palette, indices, config)
     return {
         "roi_mask": roi_mask,
         "nonroi_mask": nonroi_mask,
@@ -716,6 +720,7 @@ def encode(image_rgb: np.ndarray, config: cfg.CodecConfig | None = None) -> byte
             palette, indices = RF.refine_canvas(
                 t1, palette, RF.effective_iters(config)
             )
+        palette = RF.maybe_refit(image_rgb, palette, indices, config)
         return container.pack(palette, indices, level=config.container_level)
 
 

@@ -53,6 +53,85 @@ def effective_iters(config) -> int:
     return 0 if config.fill_black_holes > 0 else iters
 
 
+def effective_refit(config) -> bool:
+    """Resolved refit switch: env override, gated off under hole filling
+    (filled pixels diverge from the original image, which would bias the
+    refitted means)."""
+    import os
+
+    v = os.environ.get("RHCCQ_PALETTE_REFIT")
+    on = bool(int(v)) if v else config.palette_refit
+    return on and config.fill_black_holes == 0
+
+
+def refit_pixels(
+    image_rgb: np.ndarray,
+    palette: np.ndarray,
+    indices: np.ndarray,
+) -> np.ndarray:
+    """One exact weighted-mean update of the palette against the ORIGINAL
+    pixels at FIXED final indices — the Lloyd centroid step of the true
+    pixel-MSE objective, with the assignment (and hence the encoded index
+    stream) untouched: zero rate cost up to DEFLATE noise on the palette
+    bytes, and the MSE cannot increase (each entry moves to its cells'
+    mean).  Refinement (`refine_palette`) fits to tier-1 CLUSTER colors,
+    which are rounded/black-repaired means — the residual per-entry bias
+    against the raw pixels is what this step claims.  Measured (8 Kodak,
+    split_margin=1.5): +0.27 dB at identical bpp on the base pipeline,
+    +0.10 dB on top of palette_refine_iters=2 (RD_REFINE.json).
+
+    Black palette entries are frozen (codec background sentinel,
+    models/quantize.py); rows with no pixels keep their value.  Background
+    pixels always map to a frozen black entry (codec.tiers23_palette_indices
+    add_black law), so bincounting the FULL image is safe and keeps this
+    bit-identical between the canvas and batched paths.  All sums are exact
+    (f64 integer accumulation < 2^53), so chunking does not change results.
+
+    Args:
+      image_rgb: (h, w, 3) uint8 original image.
+      palette: (K, 3) uint8 final palette.
+      indices: (h, w) unsigned final index map (pack() input).
+
+    Returns: (K, 3) uint8 refitted palette.
+    """
+    pal = np.asarray(palette, np.uint8)
+    idx = np.asarray(indices).reshape(-1)
+    flat = np.asarray(image_rgb, np.uint8).reshape(-1, 3)
+    if flat.shape[0] != idx.shape[0]:
+        raise ValueError(f"image/index size mismatch: {flat.shape} vs {idx.shape}")
+    k = len(pal)
+    if k == 0 or idx.size == 0:
+        return pal.copy()
+    frozen = (pal == 0).all(axis=1)
+    if bool(frozen.all()):
+        return pal.copy()
+    # Chunked exact accumulation: the f64 weight copies stay cache-sized
+    # (a full 22 MP f64 view is a ~176 MB/channel transient on the
+    # page-fault-sensitive single-core host).
+    cnt = np.zeros(k, np.int64)
+    sums = np.zeros((k, 3), np.float64)
+    chunk = 1 << 22
+    for s in range(0, idx.size, chunk):
+        ii = idx[s : s + chunk].astype(np.int64, copy=False)
+        cnt += np.bincount(ii, minlength=k)
+        rows = flat[s : s + chunk]
+        for ch in range(3):
+            sums[:, ch] += np.bincount(
+                ii, weights=rows[:, ch].astype(np.float64), minlength=k
+            )
+    upd = (~frozen) & (cnt > 0)
+    out = pal.copy()
+    out[upd] = np.round(sums[upd] / cnt[upd, None]).astype(np.uint8)
+    return out
+
+
+def maybe_refit(image_rgb, palette, indices, config):
+    """Apply `refit_pixels` when the config enables it; else pass through."""
+    if not effective_refit(config):
+        return palette
+    return refit_pixels(image_rgb, palette, indices)
+
+
 def refine_palette(
     colors: np.ndarray,
     mass: np.ndarray,

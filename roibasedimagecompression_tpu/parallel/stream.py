@@ -211,7 +211,10 @@ def encode_many(
     # 5. Container packing: host DEFLATE parallelized in a thread pool (zlib
     #    releases the GIL; device work is already done at this point).
     def finish(k: int) -> bytes:
+        from roibasedimagecompression_tpu.models import refine as RF
+
         palette, indices = pal_idx[k]
+        palette = RF.maybe_refit(batch[k], palette, indices, config)
         return container.pack(palette, indices, level=config.container_level)
 
     results: list = [None] * b
@@ -263,6 +266,7 @@ def _finish_canvas_path(table, tall_seg, seg_group, batch, config, mesh):
             palette, indices = RF.refine_canvas(
                 t1_list[k], palette, RF.effective_iters(config)
             )
+        palette = RF.maybe_refit(batch[k], palette, indices, config)
         return container.pack(palette, indices, level=config.container_level)
 
     results: list = [None] * b

@@ -363,6 +363,7 @@ def test_reference_law_parity_mode():
     parity = dict(
         weighted_palette=False, container_level=0,
         split_method="kmeans", split_margin=1.0,
+        palette_refine_iters=0, palette_refit=False,
     )
 
     data = rtc.encode(img, rtc.CodecConfig(**parity))

@@ -120,6 +120,54 @@ def test_refine_improves_quality_at_bounded_rate(lenna):
     assert (q1["psnr"] - q0["psnr"]) > 1.0 * max(dbpp, 0.0)
 
 
+def test_refit_minimizes_mse_at_fixed_indices(lenna):
+    """refit_pixels is the exact Lloyd centroid step at the pixel level:
+    MSE cannot increase (rounded means are the integer minimizers per
+    channel), indices are untouched, black entries freeze."""
+    from roibasedimagecompression_tpu.io import container as C
+
+    img = lenna[:256, :256]
+    dbg = codec.encode_debug(img, rtc.CodecConfig(palette_refit=False))
+    pay = C.unpack(dbg["data"])
+    pal2 = RF.refit_pixels(img, pay.palette, pay.indices)
+    f = img.astype(np.float64)
+    mse0 = ((f - pay.palette[pay.indices]) ** 2).mean()
+    mse1 = ((f - pal2[pay.indices]) ** 2).mean()
+    assert mse1 <= mse0
+    frozen = (pay.palette == 0).all(axis=1)
+    assert (pal2[frozen] == 0).all()
+    # Non-contiguous views are accepted (reshape(-1) copies when needed).
+    half = RF.refit_pixels(img[:128], pal2, pay.indices[:128])
+    assert half.shape == pal2.shape
+
+
+def test_refit_zero_rate_identical_index_stream(lenna):
+    """palette_refit changes palette VALUES only: the decoded index matrix is
+    identical and quality does not regress."""
+    from roibasedimagecompression_tpu.io import container as C
+
+    img = lenna[:192, :192]
+    d0 = rtc.encode(img, rtc.CodecConfig(palette_refit=False))
+    d1 = rtc.encode(img, rtc.CodecConfig(palette_refit=True))
+    p0, p1 = C.unpack(d0), C.unpack(d1)
+    assert np.array_equal(p0.indices, p1.indices)
+    assert p0.palette.shape == p1.palette.shape
+    q0 = M.quality_metrics(img, p0.to_rgb())
+    q1 = M.quality_metrics(img, p1.to_rgb())
+    assert q1["psnr"] >= q0["psnr"]
+
+
+def test_refit_gated_off_under_hole_filling():
+    assert RF.effective_refit(rtc.CodecConfig())
+    assert not RF.effective_refit(rtc.CodecConfig(fill_black_holes=3))
+    assert not RF.effective_refit(rtc.CodecConfig(palette_refit=False))
+    os.environ["RHCCQ_PALETTE_REFIT"] = "0"
+    try:
+        assert not RF.effective_refit(rtc.CodecConfig())
+    finally:
+        del os.environ["RHCCQ_PALETTE_REFIT"]
+
+
 def test_refine_gated_off_under_hole_filling():
     cfg = rtc.CodecConfig(palette_refine_iters=2, fill_black_holes=3)
     assert RF.effective_iters(cfg) == 0
