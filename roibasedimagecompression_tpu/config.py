@@ -210,13 +210,18 @@ class CodecConfig:
     # level by level.  Measured (full-res Kodak x6, CPU): margin 2-3 sits
     # +0.7-1.0 dB ABOVE the margin-1 R-D curve at matched rate AND cuts the
     # split recursion to ~1-2 levels (fewer serial device waves, faster).
-    # Margin ladder with the hybrid split (same 6 images): 1.5 = 33.32 dB
-    # @ 3.254 bpp, 2.0 = 34.56 @ 3.526, 2.5 = 34.91 @ 3.714 — the 1.5->2.0
-    # step earns 4.6 dB/bpp (the quality-knob ladder pays ~2.6 dB/bpp, so
-    # 2.0 is ~+0.55 dB above the curve at matched rate) while 2.5's marginal
-    # slope drops below the ladder.  Default 2.0; env override:
-    # RHCCQ_SPLIT_MARGIN.
-    split_margin: float = 2.0
+    # Margin ladder with the hybrid split, refinement OFF (6 full-res
+    # Kodak): 1.5 = 33.32 dB @ 3.254 bpp, 2.0 = 34.56 @ 3.526, 2.5 = 34.91
+    # @ 3.714 — there the 1.5->2.0 step earns 4.6 dB/bpp and 2.0 wins.
+    # WITH the default palette refinement chain the calculus flips: the
+    # refined palette recovers most of what the extra split colors bought,
+    # so margin 1.5 + refine-2 measures 35.26 dB @ 3.105 bpp on full
+    # Kodak-24 vs 36.16 @ 3.501 for margin 2.0 + refine-2 — a 2.27 dB/bpp
+    # marginal slope, BELOW the ~2.6 dB/bpp quality-ladder slope (and
+    # 1.5 + refine-2 dominates the old margin-2.0 no-refine default on
+    # PSNR, SSIM and rate simultaneously, RD_REFINE.json).  Default 1.5;
+    # env override: RHCCQ_SPLIT_MARGIN.
+    split_margin: float = 1.5
     # Weight the oversized-split k-means by per-color PIXEL counts (weighted
     # ++ sampling and Lloyd updates) so split PARTITIONS minimize pixel-level
     # MSE instead of palette-entry MSE.  The reference splits palette entries
@@ -233,8 +238,11 @@ class CodecConfig:
     # encoder/compression/image.py:243-350); reference-parity configs pin 0.
     # Skipped when fill_black_holes > 0 (hole filling paints colors at
     # pixels whose tier-1 color is background-black, which refinement would
-    # repaint).  Env override: RHCCQ_PALETTE_REFINE.
-    palette_refine_iters: int = 0
+    # repaint).  Default 2: the 2nd iteration adds +0.09 dB at +0.006 bpp
+    # over 1 and further iterations measure ~0 (RD_REFINE.json); the whole
+    # chain is host table-Lloyd — microseconds against the encode.  Env
+    # override: RHCCQ_PALETTE_REFINE.
+    palette_refine_iters: int = 2
     # Zero-rate palette refit: ONE exact weighted-mean update of each final
     # palette entry against the ORIGINAL pixels at fixed indices
     # (models/refine.py:refit_pixels).  The index stream is untouched, so
