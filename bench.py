@@ -156,7 +156,9 @@ def main():
 
     # Measured run: best of two passes (host timing on this single-core VM
     # is noisy — page-fault storms swing individual host stages by seconds).
-    workers = int(os.environ.get("RHCCQ_STREAM_WORKERS", "4"))  # sweep: 4 workers 0.651 MP/s vs 2 at 0.621
+    # Worker sweep (scripts/sweep_stream.py, warm, bsz=8): 8 -> 0.697 MP/s,
+    # 4 -> 0.674, 6 -> 0.625; bsz=16 regressed (0.618 at 4 workers).
+    workers = int(os.environ.get("RHCCQ_STREAM_WORKERS", "8"))
     dt = float("inf")
     for attempt in range(2):
         timing.reset_stages()
