@@ -409,6 +409,80 @@ def _assign_trivial_runs(cluster_keys, colors, starts, sizes_inout, eps,
     return np.int64(len(triv))
 
 
+def _epscc_native_on() -> bool:
+    """eps-CC backend pick: native grid union-find when the library is
+    available (RHCCQ_EPSCC=device forces the bucketed device sweeps)."""
+    import os
+
+    env = os.environ.get("RHCCQ_EPSCC")
+    if env == "device":
+        return False
+    if env == "native":
+        return True
+    return native.available()
+
+
+def _epscc_assign_keys(
+    cluster_keys, colors, color_of_pair, starts, sizes_masked, eps, key_base,
+    mesh,
+):
+    """Assign eps-CC cluster keys for every non-zero run, in place.
+
+    Two backends with BIT-IDENTICAL keys: the native grid union-find
+    (native.epscc_labels_runs) and the bucketed vmapped device sweeps
+    (_eps_components_gather).  Both produce run-local minimum-member labels;
+    the key arithmetic (key_base + row * (cap+1) + label over the same
+    bucket grid) is shared, so every downstream id is the same either way.
+    Returns the advanced key_base.
+    """
+    buckets = _bucketize(sizes_masked, list(_BUCKETS))
+    if _epscc_native_on():
+        for cap, ids in buckets.items():
+            labels = native.epscc_labels_runs(
+                color_of_pair, starts[ids], sizes_masked[ids], eps[ids]
+            )
+            flat_pos, flat_row, _ = _flat_run_positions(
+                starts[ids], sizes_masked[ids]
+            )
+            cluster_keys[flat_pos] = (
+                key_base + flat_row * np.int64(cap + 1) + labels
+            )
+            key_base += np.int64(len(ids)) * (cap + 1)
+        return key_base
+    colors_dev = _colors_device(colors, mesh)
+    # Dispatch all buckets, then collect (overlaps device round-trips).
+    pending = []
+    for cap, ids in buckets.items():
+        b = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
+        starts_b = np.zeros(b, np.int32)
+        starts_b[: len(ids)] = starts[ids]
+        sizes_b = np.zeros(b, np.int32)
+        sizes_b[: len(ids)] = sizes_masked[ids]
+        eps_b = np.ones(b, np.float32)
+        eps_b[: len(ids)] = eps[ids]
+        result = DISPATCH.submit(
+            _eps_components_gather,
+            colors_dev,
+            SHARD.shard_rows(starts_b, mesh),
+            SHARD.shard_rows(sizes_b, mesh),
+            SHARD.shard_rows(eps_b, mesh),
+            cap=cap, chunk=min(512, cap),
+        )
+        pending.append((cap, ids, starts[ids], sizes_masked[ids], result))
+    collected = SHARD.collect_all([p[4].result() for p in pending])
+    for (cap, ids, st_b, sz_b, _), labels in zip(pending, collected):
+        # Row-local min-index labels -> globally unique keys, scattered
+        # back over the runs' real points only.
+        flat_pos, flat_row, within = _flat_run_positions(st_b, sz_b)
+        cluster_keys[flat_pos] = (
+            key_base
+            + flat_row * (cap + 1)
+            + labels[flat_row, within].astype(np.int64)
+        )
+        key_base += np.int64(len(ids)) * (cap + 1)
+    return key_base
+
+
 def tier1_colors(
     image_rgb: np.ndarray,
     seg_map: np.ndarray,
@@ -548,37 +622,10 @@ def tier1_table(
             cluster_keys, colors, starts, small_sizes, eps, key_base
         )
         key_base += n_trivial
-        colors_dev = _colors_device(colors, mesh)
-        # Dispatch all buckets, then collect (overlaps device round-trips).
-        pending = []
-        for cap, ids in _bucketize(small_sizes, list(_BUCKETS)).items():
-            b = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
-            starts_b = np.zeros(b, np.int32)
-            starts_b[: len(ids)] = starts[ids]
-            sizes_b = np.zeros(b, np.int32)
-            sizes_b[: len(ids)] = sizes[ids]
-            eps_b = np.ones(b, np.float32)
-            eps_b[: len(ids)] = eps[ids]
-            result = DISPATCH.submit(
-                _eps_components_gather,
-                colors_dev,
-                SHARD.shard_rows(starts_b, mesh),
-                SHARD.shard_rows(sizes_b, mesh),
-                SHARD.shard_rows(eps_b, mesh),
-                cap=cap, chunk=min(512, cap),
-            )
-            pending.append((cap, ids, starts[ids], sizes[ids], result))
-        collected = SHARD.collect_all([p[4].result() for p in pending])
-        for (cap, ids, st_b, sz_b, _), labels in zip(pending, collected):
-            # Row-local min-index labels -> globally unique keys, scattered
-            # back over the runs' real points only.
-            flat_pos, flat_row, within = _flat_run_positions(st_b, sz_b)
-            cluster_keys[flat_pos] = (
-                key_base
-                + flat_row * (cap + 1)
-                + labels[flat_row, within].astype(np.int64)
-            )
-            key_base += np.int64(len(ids)) * (cap + 1)
+        key_base = _epscc_assign_keys(
+            cluster_keys, colors, color_of_pair, starts, small_sizes, eps,
+            key_base, mesh,
+        )
 
         if len(big):
             labs = CL.kmeans_host_many(
@@ -830,35 +877,10 @@ def cluster_pair_table(
             cluster_keys, colors, nb_starts, small_sizes, eps, key_base
         )
         key_base += n_trivial
-        colors_dev = _colors_device(colors, mesh)
-        # Dispatch all buckets, then collect (overlaps device round-trips).
-        pending = []
-        for cap, ids in _bucketize(small_sizes, list(_BUCKETS)).items():
-            b = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
-            starts_b = np.zeros(b, np.int32)
-            starts_b[: len(ids)] = nb_starts[ids]
-            sizes_b = np.zeros(b, np.int32)
-            sizes_b[: len(ids)] = nb_sizes[ids]
-            eps_b = np.ones(b, np.float32)
-            eps_b[: len(ids)] = eps[ids]
-            result = DISPATCH.submit(
-                _eps_components_gather,
-                colors_dev,
-                SHARD.shard_rows(starts_b, mesh),
-                SHARD.shard_rows(sizes_b, mesh),
-                SHARD.shard_rows(eps_b, mesh),
-                cap=cap, chunk=min(512, cap),
-            )
-            pending.append((cap, ids, nb_starts[ids], nb_sizes[ids], result))
-        collected = SHARD.collect_all([p[4].result() for p in pending])
-        for (cap, ids, st_b, sz_b, _), labels in zip(pending, collected):
-            flat_pos, flat_row, within = _flat_run_positions(st_b, sz_b)
-            cluster_keys[flat_pos] = (
-                key_base
-                + flat_row * (cap + 1)
-                + labels[flat_row, within].astype(np.int64)
-            )
-            key_base += np.int64(len(ids)) * (cap + 1)
+        key_base = _epscc_assign_keys(
+            cluster_keys, colors, color_of_pair, nb_starts, small_sizes, eps,
+            key_base, mesh,
+        )
 
         if len(big):
             labs = CL.kmeans_host_many(

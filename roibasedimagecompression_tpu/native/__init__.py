@@ -167,6 +167,11 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
         ]
+        lib.epscc_grid_labels.restype = None
+        lib.epscc_grid_labels.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.score_candidates.restype = ctypes.c_int32
         lib.score_candidates.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -510,6 +515,38 @@ def pack_sel_keys(colors: np.ndarray, sel: np.ndarray, tag: int,
             out.ctypes.data + offset * 8,
         )
     )
+
+
+def epscc_labels_runs(
+    colors_packed: np.ndarray,
+    starts: np.ndarray,
+    sizes: np.ndarray,
+    eps: np.ndarray,
+) -> np.ndarray | None:
+    """Exact eps-CC labels for many palette runs via grid union-find.
+
+    Each run r is colors_packed[starts[r] : starts[r]+sizes[r]] (0xRRGGBB
+    int32 rows of the sorted pair table); eps[r] is the DBSCAN radius.
+    Returns run-major concatenated int32 labels (run-local minimum member
+    index per component — identical to ops/cluster.eps_components), or None
+    without the native library.  Reference law: DBSCAN(eps, min_samples=1)
+    == single-linkage eps-graph components
+    (encoder/compression/clustering.py:233-235).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, np.int64)
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    # Square in float32 to mirror the device predicate (d2_f32 <= eps2_f32).
+    eps2 = np.ascontiguousarray(eps, np.float32) ** 2
+    colors_packed = np.ascontiguousarray(colors_packed, np.int32)
+    labels = np.empty(int(sizes.sum()), np.int32)
+    lib.epscc_grid_labels(
+        colors_packed.ctypes.data, starts.ctypes.data, sizes.ctypes.data,
+        eps2.ctypes.data, len(starts), labels.ctypes.data,
+    )
+    return labels
 
 
 def argsort_i64(keys: np.ndarray) -> np.ndarray:

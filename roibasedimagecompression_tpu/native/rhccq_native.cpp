@@ -1687,3 +1687,181 @@ void cc_label_means(const int32_t* labels, const double* values, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Exact eps-connectivity components (DBSCAN min_samples=1 — reference
+// encoder/compression/clustering.py:233-235) over runs of a sorted pair
+// table, via grid-hashed union-find.
+//
+// Labels match ops/cluster.eps_components exactly: each point gets the
+// minimum point index (run-local) of its eps-component.  The predicate is
+// the device kernel's: (float)d2 <= eps2 with d2 the integer squared
+// distance (<= 3*255^2 < 2^24, exactly representable in float32, so the
+// comparison is bit-identical to the MXU HIGHEST-precision path).
+//
+// Grid: cell edge = max(1, floor(eps/sqrt(3))), so two points in one cell
+// are always within eps (cell diagonal <= eps) and union for free; cell
+// pairs whose minimum box distance exceeds eps are pruned; the remaining
+// cell pairs scan cross pairs but stop at the FIRST connecting edge (each
+// cell is one UF component after the within-cell union, so one edge
+// suffices).  Palette runs are <10k points (>=10k switches to k-means,
+// clustering.py:207), so per-run sort + binary-searched neighbor lookups
+// are microseconds; the device kernel's O(n^2 * sweeps) distance waves
+// (and their dispatch latency) are gone.
+// ---------------------------------------------------------------------------
+
+namespace {
+struct EpsUF {
+  std::vector<int32_t> parent;
+  void reset(int32_t n) {
+    parent.resize(n);
+    for (int32_t i = 0; i < n; ++i) parent[i] = i;
+  }
+  int32_t find(int32_t x) {
+    int32_t root = x;
+    while (parent[root] != root) root = parent[root];
+    while (parent[x] != root) {
+      int32_t next = parent[x];
+      parent[x] = root;
+      x = next;
+    }
+    return root;
+  }
+  // Union with root = MIN member index (the device kernel's label choice).
+  void unite(int32_t a, int32_t b) {
+    int32_t ra = find(a), rb = find(b);
+    if (ra == rb) return;
+    if (ra < rb) parent[rb] = ra; else parent[ra] = rb;
+  }
+};
+}  // namespace
+
+extern "C" {
+
+// labels_out is written run-major (concatenated runs, length sum(sizes)).
+void epscc_grid_labels(const int32_t* colors_packed, const int64_t* starts,
+                       const int64_t* sizes, const float* eps2_arr,
+                       int64_t n_runs, int32_t* labels_out) {
+  EpsUF uf;
+  std::vector<int64_t> ckey_idx;            // (cellkey << 32 | local idx)
+  std::vector<int64_t> cell_start;          // offsets into ckey_idx per cell
+  std::vector<int64_t> cell_key;            // sorted distinct cell keys
+  int64_t out_off = 0;
+  for (int64_t r = 0; r < n_runs; ++r) {
+    const int64_t n = sizes[r];
+    if (n <= 0) continue;
+    const int32_t* pts = colors_packed + starts[r];
+    int32_t* out = labels_out + out_off;
+    out_off += n;
+    if (n == 1) { out[0] = 0; continue; }
+    const float eps2 = eps2_arr[r];
+    const double eps = std::sqrt(static_cast<double>(eps2));
+    const int32_t cell =
+        std::max<int32_t>(1, static_cast<int32_t>(eps / 1.7320508075688772));
+    const int32_t R = static_cast<int32_t>(std::ceil(eps / cell));
+    const int64_t g = (256 + cell - 1) / cell;  // cells per axis
+
+    uf.reset(static_cast<int32_t>(n));
+    // Sort local indices by cell key (key fits: g^3 <= 256^3 = 2^24; n < 2^20).
+    ckey_idx.clear();
+    ckey_idx.reserve(n);
+    for (int64_t i = 0; i < n; ++i) {
+      const int32_t c = pts[i];
+      const int64_t cx = ((c >> 16) & 0xFF) / cell;
+      const int64_t cy = ((c >> 8) & 0xFF) / cell;
+      const int64_t cz = (c & 0xFF) / cell;
+      ckey_idx.push_back((((cx * g + cy) * g + cz) << 32) | i);
+    }
+    std::sort(ckey_idx.begin(), ckey_idx.end());
+    cell_start.clear();
+    cell_key.clear();
+    int64_t prev = -1;
+    for (int64_t j = 0; j < n; ++j) {
+      const int64_t ck = ckey_idx[j] >> 32;
+      if (ck != prev) {
+        cell_start.push_back(j);
+        cell_key.push_back(ck);
+        prev = ck;
+      }
+    }
+    cell_start.push_back(n);
+    const int64_t n_cells = static_cast<int64_t>(cell_key.size());
+
+    // Within-cell union (cell diagonal <= eps by construction of `cell`;
+    // for cell == 1 members are identical coordinates, also fine).
+    for (int64_t ci = 0; ci < n_cells; ++ci) {
+      const int32_t first =
+          static_cast<int32_t>(ckey_idx[cell_start[ci]] & 0xFFFFFFFFLL);
+      for (int64_t j = cell_start[ci] + 1; j < cell_start[ci + 1]; ++j) {
+        uf.unite(first, static_cast<int32_t>(ckey_idx[j] & 0xFFFFFFFFLL));
+      }
+    }
+
+    // Cross-cell edges: for each occupied cell, probe occupied neighbor
+    // cells with a LARGER key (each unordered pair checked once).
+    for (int64_t ci = 0; ci < n_cells; ++ci) {
+      const int64_t ck = cell_key[ci];
+      const int64_t cz = ck % g, cy = (ck / g) % g, cx = ck / (g * g);
+      for (int32_t dx = 0; dx <= R; ++dx) {
+        if (cx + dx >= g) break;
+        const int64_t lbx = dx > 0 ? (int64_t)(dx - 1) * cell + 1 : 0;
+        if ((double)lbx * lbx > eps2) break;
+        const int32_t dy_lo = dx == 0 ? 0 : -R;
+        for (int32_t dy = dy_lo; dy <= R; ++dy) {
+          const int64_t ny = cy + dy;
+          if (ny < 0 || ny >= g) continue;
+          const int64_t lby = std::abs(dy) > 0
+              ? (int64_t)(std::abs(dy) - 1) * cell + 1 : 0;
+          if ((double)(lbx * lbx + lby * lby) > eps2) continue;
+          const int32_t dz_lo = (dx == 0 && dy == 0) ? 1 : -R;
+          for (int32_t dz = dz_lo; dz <= R; ++dz) {
+            const int64_t nz = cz + dz;
+            if (nz < 0 || nz >= g) continue;
+            const int64_t lbz = std::abs(dz) > 0
+                ? (int64_t)(std::abs(dz) - 1) * cell + 1 : 0;
+            if ((double)(lbx * lbx + lby * lby + lbz * lbz) > eps2) continue;
+            const int64_t nk = ((cx + dx) * g + ny) * g + nz;
+            // Binary search the occupied-cell list (sorted by key).
+            const auto it =
+                std::lower_bound(cell_key.begin() + ci + 1, cell_key.end(), nk);
+            if (it == cell_key.end() || *it != nk) continue;
+            const int64_t cj = it - cell_key.begin();
+            const int32_t pi =
+                static_cast<int32_t>(ckey_idx[cell_start[ci]] & 0xFFFFFFFFLL);
+            const int32_t pj =
+                static_cast<int32_t>(ckey_idx[cell_start[cj]] & 0xFFFFFFFFLL);
+            if (uf.find(pi) == uf.find(pj)) continue;
+            // One connecting edge merges the two single-component cells.
+            bool done = false;
+            for (int64_t a = cell_start[ci]; a < cell_start[ci + 1] && !done;
+                 ++a) {
+              const int32_t ia = static_cast<int32_t>(ckey_idx[a] & 0xFFFFFFFFLL);
+              const int32_t ca = pts[ia];
+              const int64_t ar = (ca >> 16) & 0xFF, ag = (ca >> 8) & 0xFF,
+                            ab = ca & 0xFF;
+              for (int64_t b2 = cell_start[cj]; b2 < cell_start[cj + 1];
+                   ++b2) {
+                const int32_t ib = static_cast<int32_t>(ckey_idx[b2] & 0xFFFFFFFFLL);
+                const int32_t cb = pts[ib];
+                const int64_t dr = ar - ((cb >> 16) & 0xFF);
+                const int64_t dg = ag - ((cb >> 8) & 0xFF);
+                const int64_t db = ab - (cb & 0xFF);
+                const int64_t d2 = dr * dr + dg * dg + db * db;
+                if (static_cast<float>(d2) <= eps2) {
+                  uf.unite(ia, ib);
+                  done = true;
+                  break;
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    for (int64_t i = 0; i < n; ++i) {
+      out[i] = uf.find(static_cast<int32_t>(i));
+    }
+  }
+}
+
+}  // extern "C"

@@ -5,7 +5,6 @@ the bench's defaults should match the winner.  Run warm (after the compile
 cache is populated); each config is measured best-of-2.
 """
 
-import itertools
 import os
 import sys
 import time
@@ -30,11 +29,19 @@ def main():
     mp = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
     cfg = CodecConfig()
 
+    # A worker only does work if it gets a batch: workers > n_batches measures
+    # the same execution as workers == n_batches (ThreadPoolExecutor spawns
+    # threads lazily), so those configs are skipped WITH a log line — silently
+    # dropping requested SWEEP_W/SWEEP_BSZ values made past sweeps lie.
     configs = []
-    for bsz in (int(x) for x in (os.environ.get("SWEEP_BSZ") or "8,16").split(",")):
-        for workers in (int(x) for x in (os.environ.get("SWEEP_W") or "4,6,8").split(",")):
-            if workers * bsz <= 2 * len(imgs):
-                configs.append((bsz, workers))
+    for bsz in (int(x) for x in (os.environ.get("SWEEP_BSZ") or "4,8,16").split(",")):
+        n_batches = -(-len(imgs) // bsz)
+        for workers in (int(x) for x in (os.environ.get("SWEEP_W") or "1,2,3,4").split(",")):
+            if workers > n_batches:
+                print(f"skip bsz={bsz} workers={workers}: only {n_batches} "
+                      "batches (knob would be a no-op)", file=sys.stderr)
+                continue
+            configs.append((bsz, workers))
 
     # Warm every batch size once (pays any uncached compiles).
     for bsz in sorted({b for b, _ in configs}):

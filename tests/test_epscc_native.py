@@ -1,0 +1,95 @@
+"""Native grid eps-CC (native.epscc_labels_runs) vs the device kernel.
+
+The native union-find must reproduce ops/cluster.eps_components labels
+EXACTLY (run-local minimum member index per eps-component) so that the two
+backends assign bit-identical cluster keys in models/quantize_batched.
+Reference law: DBSCAN(eps, min_samples=1) over palette colors
+(encoder/compression/clustering.py:233-235).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from roibasedimagecompression_tpu import native
+from roibasedimagecompression_tpu.ops import cluster as CL
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native runtime unavailable"
+)
+
+
+def _unpack(packed):
+    return np.stack(
+        [(packed >> 16) & 0xFF, (packed >> 8) & 0xFF, packed & 0xFF], axis=1
+    ).astype(np.float32)
+
+
+def _device_labels(packed, eps):
+    n = len(packed)
+    colors = _unpack(packed)
+    return np.asarray(
+        CL.eps_components(
+            jnp.asarray(colors), jnp.float32(eps), jnp.ones(n, bool), None,
+            chunk=256,
+        )
+    )
+
+
+@pytest.mark.parametrize("quality", [5.0, 20.0, 50.0, 90.0, 99.0])
+def test_epscc_native_matches_device(rng, quality):
+    eps = 128.0 - 1.28 * quality
+    k = int(rng.integers(1, 12))
+    centers = rng.integers(0, 256, (k, 3))
+    pts = (
+        centers[rng.integers(0, k, 700)]
+        + rng.normal(0, 25, (700, 3))
+    ).clip(0, 255).astype(np.int64)
+    packed = np.unique((pts[:, 0] << 16) | (pts[:, 1] << 8) | pts[:, 2])
+    ref = _device_labels(packed, eps)
+    got = native.epscc_labels_runs(
+        packed.astype(np.int32),
+        np.array([0]), np.array([len(packed)]), np.array([eps]),
+    )
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_epscc_native_multirun_concat(rng):
+    starts, sizes, epss, parts = [], [], [], []
+    off = 0
+    for _ in range(12):
+        n = int(rng.integers(1, 300))
+        p = np.unique(rng.integers(0, 1 << 24, n).astype(np.int32))
+        starts.append(off)
+        sizes.append(len(p))
+        epss.append(float(rng.uniform(1.3, 120.0)))
+        parts.append(p)
+        off += len(p)
+    table = np.concatenate(parts)
+    labels = native.epscc_labels_runs(
+        table, np.asarray(starts), np.asarray(sizes), np.asarray(epss)
+    )
+    o = 0
+    for s, n, e in zip(starts, sizes, epss):
+        ref = _device_labels(table[s : s + n].astype(np.int64), e)
+        np.testing.assert_array_equal(ref, labels[o : o + n])
+        o += n
+
+
+def test_epscc_backend_bitstream_identical(rng, monkeypatch):
+    """encode() bytes must not depend on the eps-CC backend."""
+    from roibasedimagecompression_tpu import CodecConfig
+    from roibasedimagecompression_tpu.models import codec
+
+    im = np.zeros((64, 64, 3), np.uint8)
+    yy, xx = np.mgrid[:64, :64]
+    im[..., 0] = (xx * 4) % 256
+    im[..., 1] = np.asarray(rng.integers(0, 256, (64, 64)), np.uint8)
+    im[..., 2] = (yy * 4) % 256
+    cfg = CodecConfig()
+    monkeypatch.setenv("RHCCQ_EPSCC", "device")
+    a = codec.encode(im, cfg)
+    monkeypatch.setenv("RHCCQ_EPSCC", "native")
+    b = codec.encode(im, cfg)
+    assert a == b
