@@ -116,6 +116,7 @@ def build_segment_maps_many(
     regions_per_image: list,
     config: cfg.CodecConfig,
     mesh=None,
+    return_dbatch: bool = False,
 ) -> list:
     """Rasterize per-region SLIC segments into global (h, w) id maps — for a
     whole BATCH of images in shape-bucketed device calls.
@@ -154,8 +155,12 @@ def build_segment_maps_many(
     shapes = {im.shape for im in images}
     if len(shapes) == 1 and 0 < len(flat_regions) < 65535:
         h, w = images[0].shape[:2]
-        reg_a = np.zeros((len(images), h, w), np.uint16)  # nonroi regions
-        reg_b = np.zeros((len(images), h, w), np.uint16)  # roi regions
+        # Narrowest raster dtype that fits: the tunnel moves ~41 MB/s, so a
+        # u8 raster pair saves ~6 MB of upload per 8-image batch (the usual
+        # case — a batch rarely exceeds 254 regions).
+        reg_dtype = np.uint8 if len(flat_regions) < 255 else np.uint16
+        reg_a = np.zeros((len(images), h, w), reg_dtype)  # nonroi regions
+        reg_b = np.zeros((len(images), h, w), reg_dtype)  # roi regions
         sources = []
         for j, (k, region) in enumerate(flat_regions):
             minr, minc, maxr, maxc = region.bbox
@@ -207,6 +212,10 @@ def build_segment_maps_many(
         results.append(
             (seg_map, np.asarray(qualities, np.float64), np.asarray(groups, np.int32))
         )
+    if return_dbatch:
+        # The device-resident batch (images + rasters) is reusable by the
+        # tier-1 device pair table — same pixels, zero extra upload.
+        return results, dbatch
     return results
 
 
@@ -467,9 +476,22 @@ def tiers23_palette_indices(
 
         idx_of_pair = idx_of_cluster[cop].astype(np.int32)
         inverse = table["inverse"]
+        out = []
+        if inverse is None:
+            # Device-pair path: the pixel -> pair mapping lives on device;
+            # one gather + scatter paints the final indices and only the
+            # narrow per-pixel index map (u8/u16) crosses the tunnel.
+            flat = table["device_pairs"].paint(
+                idx_of_pair, table["repair_remap"]
+            )
+            for i in range(b):
+                pal = results[i]
+                dt = C.min_index_dtype(max(len(pal) - 1, 0))
+                idx_map = flat[i * h * w : (i + 1) * h * w].reshape(h, w)
+                out.append((pal, idx_map.astype(dt, copy=False)))
+            return out
         n_masked = (h * w) - bg_counts
         offs = np.concatenate([[0], np.cumsum(n_masked)])
-        out = []
         for i in range(b):
             pal = results[i]
             dt = C.min_index_dtype(max(len(pal) - 1, 0))

@@ -535,8 +535,15 @@ def tier1_table(
     split_method: str = "kmeans",
     split_margin: float = 1.0,
     weighted_split: bool = False,
+    device_pairs=None,
 ) -> dict | None:
     """Tier-1 clustering as a pair/cluster TABLE (no canvas paint).
+
+    With `device_pairs` (an ops.pairs.DevicePairTable built from the same
+    seg_map), the pair table comes from the device sort instead of the host
+    radix pack, the black repair runs table-only (native), and `inverse`
+    stays None — per-pixel state lives on device and the final paint is a
+    device gather (codec.tiers23_palette_indices).
 
     Returns None when no pixel has a segment; otherwise a dict:
       seg_of_pair     (n_pairs,) int32   segment id per unique pair
@@ -556,8 +563,31 @@ def tier1_table(
     with stage_timer("t1.pairs"):
         mask = seg_map > 0
         repaired_counts = None
-        out = native.pack_pairs(image_rgb, seg_map)
-        if out is not None:
+        repair_remap = None
+        inverse = None
+        if device_pairs is not None and native.available():
+            # Device pair path: bit-identical table to native.pack_pairs
+            # (same (seg, color) sort), table-only black repair; the pixel
+            # -> pair mapping never touches the host.
+            uniq = device_pairs.uniq.copy()
+            counts = device_pairs.counts.copy()
+            if len(uniq) == 0:
+                return None
+            m, remap = native.black_repair_pairs(
+                uniq, counts, None, return_remap=True
+            )
+            uniq, counts = uniq[:m], counts[:m]
+            seg_of_pair = (uniq >> 24).astype(np.int32)
+            color_of_pair = (uniq & 0xFFFFFF).astype(np.int32)
+            repaired_counts = counts
+            repair_remap = remap
+            out = None
+        else:
+            device_pairs = None
+            out = native.pack_pairs(image_rgb, seg_map)
+        if device_pairs is not None:
+            pass
+        elif out is not None:
             # Fully-native pair path: dedup + black repair in C++ (the NumPy
             # repair's minimum.at/cumsum chain was ~0.25 s/batch of host CPU).
             uniq, inverse, counts = out
@@ -701,9 +731,11 @@ def tier1_table(
         "seg_of_pair": seg_of_pair,
         "cluster_of_pair": cluster_of_pair,
         "cluster_colors": cluster_colors,
-        "inverse": inverse,
+        "inverse": inverse,  # None on the device-pair path
         "mask": mask,
         "pair_weights": pair_weights,
+        "device_pairs": device_pairs,
+        "repair_remap": repair_remap,
     }
 
 
@@ -1088,6 +1120,13 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
     # did (untouched ids first in order, then children in construction order).
     active = None  # None = all positions (level 0)
     any_split = False
+    # The colors/weights tables are LEVEL-INVARIANT: upload once for the
+    # whole recursion.  They were re-uploaded inside every level's dispatch
+    # block — 9.4 MB of colors per level through the ~41 MB/s tunnel was the
+    # real split.kmeans cost (the k-means graphs themselves measure < 1 ms
+    # warm; scripts/microbench_split.py).
+    colors_dev = None
+    weights_dev = None
     for _level in range(8):  # recursion depth bound (sizes shrink ~max/level)
         if active is None:
             order = native.argsort_i64(cluster_of_pair)
@@ -1220,10 +1259,10 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
         trace = _os.environ.get("RHCCQ_TRACE", "") not in ("", "0")
         pending = []
         with stage_timer("split.kmeans"):
-            colors_dev = _colors_device(colors, mesh)
+            if colors_dev is None:
+                colors_dev = _colors_device(colors, mesh)
             order_dev = _order_device(order.astype(np.int32), mesh)
-            weights_dev = None
-            if weights is not None:
+            if weights is not None and weights_dev is None:
                 wbuf = np.zeros(_pow2(len(weights)), np.float32)
                 wbuf[: len(weights)] = weights
                 weights_dev = _replicated(wbuf, mesh)

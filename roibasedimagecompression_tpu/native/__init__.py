@@ -387,29 +387,40 @@ def pack_pairs(image_rgb: np.ndarray, seg_map: np.ndarray):
 
 
 def black_repair_pairs(uniq: np.ndarray, counts: np.ndarray,
-                       inverse: np.ndarray):
+                       inverse: np.ndarray | None,
+                       return_remap: bool = False):
     """Per-segment black repair on a sorted unique pair table, in place.
 
     uniq/counts: (m,) int64 sorted seg<<24|rgb keys + pixel counts;
-    inverse: (n_masked,) int64 pair ids.  Black pairs in segments with
-    non-black colors remap to the segment's darkest non-black pair (counts
-    fold into the target); the table compacts in place and inverse is
-    rewritten.  Returns the compacted pair count, or None when the native
-    library is unavailable (callers run the NumPy repair instead).
+    inverse: (n_masked,) int64 pair ids, or None to repair the table only
+    (the device-pair path keeps per-pixel state on device and applies the
+    remap there).  Black pairs in segments with non-black colors remap to
+    the segment's darkest non-black pair (counts fold into the target); the
+    table compacts in place and inverse (when given) is rewritten.  Returns
+    the compacted pair count — (count, remap) with return_remap — or None
+    when the native library is unavailable (callers run the NumPy repair
+    instead).
     """
     lib = get_lib()
     if lib is None:
         return None
     assert uniq.dtype == np.int64 and uniq.flags.c_contiguous
     assert counts.dtype == np.int64 and counts.flags.c_contiguous
-    assert inverse.dtype == np.int64 and inverse.flags.c_contiguous
+    if inverse is None:
+        inv_ptr, inv_size = None, 0
+    else:
+        assert inverse.dtype == np.int64 and inverse.flags.c_contiguous
+        inv_ptr, inv_size = inverse.ctypes.data, inverse.size
     remap = np.empty(len(uniq), np.int64)
-    return int(
+    m = int(
         lib.black_repair_pairs(
             uniq.ctypes.data, counts.ctypes.data, len(uniq),
-            inverse.ctypes.data, inverse.size, remap.ctypes.data,
+            inv_ptr, inv_size, remap.ctypes.data,
         )
     )
+    if return_remap:
+        return m, remap
+    return m
 
 
 def component_stats(labels: np.ndarray, num_labels: int):

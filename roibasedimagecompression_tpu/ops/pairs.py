@@ -1,0 +1,169 @@
+"""Device-resident (segment, color) pair table.
+
+The reference builds per-segment palettes with a per-pixel Python dict loop
+(`get_all_unique_colors`, encoder/compression/clustering.py:4-103).  The
+host C++ radix pack (native.pack_pairs) replaced that loop, but it still
+burns the single host core in proportion to pixels AND forces the final
+index paint through host memory.  Here the whole batch's pair table is
+built ON DEVICE:
+
+  1. per-pixel 2-key (segment, packed-color) lexicographic sort
+     (jax.lax.sort with an iota payload — no int64 keys needed),
+  2. unique flags + cumsum pair ids over the sorted keys,
+  3. scatter-compaction of the unique table + per-pair pixel counts.
+
+The host downloads ONLY the compacted table (tens of thousands of rows);
+the per-pixel pair ids and the sort permutation stay device-resident so the
+final palette-index paint is one device gather + scatter and the download
+is the narrow per-pixel index map itself (models/codec.tiers23_palette_
+indices).  Measured on the tunneled v5e: 4.2M-pixel sort 35 ms, compaction
+50 ms — versus 0.3-0.6 s of host radix pack per 8-image batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+def _pow2(n: int, minimum: int = 1024) -> int:
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _crop_batch(img_pad: jax.Array, *, h: int, w: int) -> jax.Array:
+    return img_pad[:, :h, :w, :]
+
+
+@jax.jit
+def _pair_sort(seg_flat: jax.Array, rgb_flat: jax.Array):
+    """Sort (segment, packed color) per pixel; segment 0 sorts last.
+
+    Returns (seg_sorted, col_sorted, perm, new_flags, pair_id_sorted,
+    n_pairs, n_valid).  pair_id_sorted is the pair row of each sorted pixel
+    (garbage past n_valid, masked by seg_sorted == sentinel).
+    """
+    n = seg_flat.shape[0]
+    col = (
+        rgb_flat[:, 0].astype(jnp.int32) * 65536
+        + rgb_flat[:, 1].astype(jnp.int32) * 256
+        + rgb_flat[:, 2].astype(jnp.int32)
+    )
+    seg = jnp.where(seg_flat > 0, seg_flat.astype(jnp.int32), _SENTINEL)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    seg_s, col_s, perm = jax.lax.sort((seg, col, iota), num_keys=2)
+    valid = seg_s != _SENTINEL
+    new = valid & (
+        (seg_s != jnp.roll(seg_s, 1)) | (col_s != jnp.roll(col_s, 1))
+    )
+    new = new.at[0].set(valid[0])
+    pair_id = jnp.cumsum(new.astype(jnp.int32)) - 1
+    return (
+        seg_s, col_s, perm, new, pair_id,
+        jnp.max(pair_id) + 1,
+        jnp.sum(valid.astype(jnp.int32)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _pair_compact(seg_s, col_s, new, pair_id, n_valid, *, cap):
+    """Compact the flagged unique rows into (cap,) tables + pixel counts.
+
+    Scatter with mode='drop': non-flagged rows target index `cap` (out of
+    bounds) and vanish.  counts[j] = start[j+1] - start[j] over the sorted
+    run starts, with the tail closed by n_valid.
+    """
+    idx = jnp.where(new, pair_id, cap)
+    out_seg = jnp.zeros(cap, jnp.int32).at[idx].set(seg_s, mode="drop")
+    out_col = jnp.zeros(cap, jnp.int32).at[idx].set(col_s, mode="drop")
+    pos = jnp.arange(seg_s.shape[0], dtype=jnp.int32)
+    starts = jnp.full(cap + 1, n_valid, jnp.int32).at[idx].set(
+        pos, mode="drop"
+    )
+    counts = jnp.diff(starts)
+    return out_seg, out_col, counts
+
+
+@functools.partial(jax.jit, static_argnames=("u8",))
+def _paint_indices(perm, pair_id_sorted, seg_s, idx_of_pair, *, u8: bool):
+    """Final palette-index paint: one gather + one scatter, all on device."""
+    dt = jnp.uint8 if u8 else jnp.uint16
+    safe = jnp.where(seg_s != _SENTINEL, pair_id_sorted, 0)
+    vals = jnp.where(
+        seg_s != _SENTINEL, idx_of_pair[safe], 0
+    ).astype(dt)
+    out = jnp.zeros(perm.shape[0], dt)
+    return out.at[perm].set(vals, unique_indices=True)
+
+
+class DevicePairTable:
+    """Pair table built on device; per-pixel state stays device-resident.
+
+    Matches native.pack_pairs output exactly: `uniq` is the sorted
+    (seg << 24 | packed_color) int64 table, `counts` the per-pair pixel
+    multiplicities.  `paint(idx_of_pair)` replaces the host
+    paint_masked_indices pass: it maps every pixel to its pair's final
+    palette index on device and downloads only the (b*h*w,) index map.
+    """
+
+    def __init__(self, tall_seg: np.ndarray, images_dev=None,
+                 tall_img: np.ndarray | None = None,
+                 hw: tuple | None = None):
+        h2, w = tall_seg.shape
+        self.n_pix = h2 * w
+        if images_dev is not None:
+            # Typically the segment stage's DeviceBatch.img: (b, h+P, w+P, 3)
+            # zero-padded — slice back to the true window, zero extra upload.
+            if hw is not None and images_dev.shape[1:3] != hw:
+                images_dev = _crop_batch(images_dev, h=hw[0], w=hw[1])
+            rgb_flat = images_dev.reshape(-1, 3)
+        else:
+            rgb_flat = jnp.asarray(tall_img.reshape(-1, 3))
+        seg_flat = jnp.asarray(
+            tall_seg.reshape(-1).astype(
+                np.uint16 if tall_seg.max() < 65536 else np.int32
+            )
+        )
+        (
+            self._seg_s, self._col_s, self._perm, new, self._pair_id,
+            n_pairs, n_valid,
+        ) = _pair_sort(seg_flat, rgb_flat)
+        self.n_pairs = int(n_pairs)
+        if self.n_pairs <= 0:
+            self.uniq = np.zeros(0, np.int64)
+            self.counts = np.zeros(0, np.int64)
+            return
+        cap = _pow2(self.n_pairs, minimum=4096)
+        seg_t, col_t, counts = _pair_compact(
+            self._seg_s, self._col_s, new, self._pair_id, n_valid, cap=cap
+        )
+        seg_t = np.asarray(seg_t[: self.n_pairs])
+        col_t = np.asarray(col_t[: self.n_pairs])
+        self.counts = np.asarray(counts[: self.n_pairs]).astype(np.int64)
+        self.uniq = (seg_t.astype(np.int64) << 24) | col_t.astype(np.int64)
+
+    def paint(self, idx_of_pair: np.ndarray, repair_remap=None) -> np.ndarray:
+        """(n_pix,) final palette indices (uint8 when every index fits).
+
+        idx_of_pair indexes the POST-repair pair table; repair_remap (from
+        the black repair) lifts it back to this table's pre-repair rows.
+        """
+        if repair_remap is not None:
+            idx_of_pair = idx_of_pair[repair_remap]
+        u8 = bool(idx_of_pair.size == 0 or idx_of_pair.max() < 256)
+        pad = _pow2(max(len(idx_of_pair), 1), minimum=4096)
+        buf = np.zeros(pad, np.int32)
+        buf[: len(idx_of_pair)] = idx_of_pair
+        out = _paint_indices(
+            self._perm, self._pair_id, self._seg_s, jnp.asarray(buf), u8=u8
+        )
+        return np.asarray(out)

@@ -152,8 +152,9 @@ def encode_many(
                 )
             )
     with stage_timer("s.segment"):
-        seg_results = CODEC.build_segment_maps_many(
-            [batch[k] for k in range(b)], regions_per_image, config, mesh=mesh
+        seg_results, dbatch = CODEC.build_segment_maps_many(
+            [batch[k] for k in range(b)], regions_per_image, config,
+            mesh=mesh, return_dbatch=True,
         )
     seg_maps = []
     qualities = [np.zeros(1)]
@@ -175,7 +176,28 @@ def encode_many(
     image_of_seg = np.concatenate(images_list)
 
     # 3. ONE tier-1 pass across every segment of every image — as a cluster
-    #    TABLE (no canvas paint).
+    #    TABLE (no canvas paint).  When the segment stage already holds the
+    #    batch pixels on device (dbatch) and the run is single-device, the
+    #    pair table is built by a device sort (ops/pairs.py) — the host
+    #    radix pack and the host index paint drop out of the steady state.
+    import os as _os
+
+    device_pairs = None
+    if (
+        dbatch is not None
+        and mesh is None
+        and config.fill_black_holes == 0
+        and _os.environ.get("RHCCQ_CANVAS_TIERS") != "1"
+        and _os.environ.get("RHCCQ_DEVICE_PAIRS", "1") != "0"
+    ):
+        from roibasedimagecompression_tpu import native as NATIVE2
+        from roibasedimagecompression_tpu.ops import pairs as PAIRS
+
+        if NATIVE2.available():
+            with stage_timer("t1.pairs_dev"):
+                device_pairs = PAIRS.DevicePairTable(
+                    tall_seg, images_dev=dbatch.img, hw=(h, w)
+                )
     with stage_timer("s.tier1"):
         table = QB.tier1_table(
             tall_img, tall_seg, seg_quality, seed=config.seed,
@@ -183,9 +205,8 @@ def encode_many(
             split_method=config.split_method,
             split_margin=config.split_margin,
             weighted_split=config.weighted_split,
+            device_pairs=device_pairs,
         )
-
-    import os as _os
 
     if config.fill_black_holes > 0 or _os.environ.get("RHCCQ_CANVAS_TIERS") == "1":
         # Hole filling operates on the tier-2 canvas — per-pixel path.

@@ -77,6 +77,47 @@ def test_epscc_native_multirun_concat(rng):
         o += n
 
 
+def test_device_pair_table_matches_native_pack(rng):
+    """ops.pairs.DevicePairTable must reproduce native.pack_pairs exactly."""
+    from roibasedimagecompression_tpu.ops import pairs as PAIRS
+
+    h, w = 48, 64
+    img = np.asarray(rng.integers(0, 256, (h, w, 3)), np.uint8)
+    seg = np.asarray(rng.integers(0, 5, (h, w)), np.int32)
+    out = native.pack_pairs(img, seg)
+    assert out is not None
+    uniq, inverse, counts = out
+    dpt = PAIRS.DevicePairTable(seg, tall_img=img)
+    np.testing.assert_array_equal(uniq, dpt.uniq)
+    np.testing.assert_array_equal(counts, dpt.counts)
+    # paint: identity index table reproduces the pair ids per pixel
+    idx = np.arange(len(uniq), dtype=np.int64)
+    flat = dpt.paint(idx)
+    mask = seg.reshape(-1) > 0
+    np.testing.assert_array_equal(flat[mask], inverse)
+    assert (flat[~mask] == 0).all()
+
+
+def test_stream_device_pairs_bitstream_identical(rng, monkeypatch):
+    """encode_many bytes must not depend on the pair-table backend."""
+    from roibasedimagecompression_tpu import CodecConfig
+    from roibasedimagecompression_tpu.parallel import stream
+
+    imgs = []
+    for k in range(2):
+        im = np.zeros((48, 48, 3), np.uint8)
+        im[..., 0] = np.asarray(rng.integers(0, 256, (48, 48)), np.uint8)
+        im[..., 1] = (np.arange(48)[:, None] * 5 + k) % 256
+        im[..., 2] = 128
+        imgs.append(im)
+    cfg = CodecConfig()
+    monkeypatch.setenv("RHCCQ_DEVICE_PAIRS", "0")
+    a = stream.encode_many(imgs, cfg)
+    monkeypatch.setenv("RHCCQ_DEVICE_PAIRS", "1")
+    b = stream.encode_many(imgs, cfg)
+    assert a == b
+
+
 def test_epscc_backend_bitstream_identical(rng, monkeypatch):
     """encode() bytes must not depend on the eps-CC backend."""
     from roibasedimagecompression_tpu import CodecConfig
