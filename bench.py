@@ -156,9 +156,10 @@ def main():
 
     # Measured run: best of two passes (host timing on this single-core VM
     # is noisy — page-fault storms swing individual host stages by seconds).
-    # Worker sweep (scripts/sweep_stream.py, warm, bsz=8): 8 -> 0.697 MP/s,
-    # 4 -> 0.674, 6 -> 0.625; bsz=16 regressed (0.618 at 4 workers).
-    workers = int(os.environ.get("RHCCQ_STREAM_WORKERS", "8"))
+    # Worker sweep (scripts/sweep_stream.py, warm, round 4, workers <=
+    # n_batches so the knob is real): bsz=8 -> w1 0.728 / w2 0.805 /
+    # w3 0.795 / w4 0.940 MP/s; bsz=16 -> w1 0.768 / w2 0.934.
+    workers = int(os.environ.get("RHCCQ_STREAM_WORKERS", "4"))
     dt = float("inf")
     for attempt in range(2):
         timing.reset_stages()
@@ -248,6 +249,26 @@ def main():
         log(f"manifest: saved {n} entries to {warmup.default_manifest_path()}")
     log(f"stages: { {k: round(v['seconds'], 2) for k, v in timing.stage_report().items()} }")
 
+    # MFU accounting pass: one more solo batch with XLA cost analysis
+    # accumulating executed device flops (utils/flops.py).  Run AFTER the
+    # timed passes — the first sight of each signature pays a lowering.
+    from roibasedimagecompression_tpu.utils import flops as FLOPS
+
+    FLOPS.enable()
+    FLOPS.reset()
+    t0 = time.perf_counter()
+    stream.encode_many(bench_batches[0], cfg)
+    mfu_dt = time.perf_counter() - t0
+    FLOPS.disable()
+    fl, byt = FLOPS.totals()
+    mfu = fl / mfu_dt / FLOPS.V5E_PEAK_F32 if mfu_dt > 0 else 0.0
+    log(
+        f"device flops (solo batch): {fl/1e9:.2f} GFLOP, {byt/1e9:.2f} GB "
+        f"accessed, over {mfu_dt:.1f}s wall -> {fl/mfu_dt/1e9:.1f} GFLOP/s "
+        f"= {mfu*100:.5f}% of v5e f32 peak (the encode is transfer/latency-"
+        f"bound, not flop-bound — see BASELINE.md ceiling analysis)"
+    )
+
     print(
         json.dumps(
             {
@@ -264,6 +285,8 @@ def main():
                 "decode_mpps": round(decode_mpps, 3),
                 "single_image_seconds": round(single, 2),
                 "single_image_low_latency_seconds": round(single_ll, 2),
+                "mfu": round(mfu, 8),
+                "device_gflops_solo_batch": round(fl / 1e9, 3),
             }
         )
     )

@@ -29,6 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from roibasedimagecompression_tpu.utils import flops as FLOPS
+
 _SENTINEL = jnp.iinfo(jnp.int32).max
 
 
@@ -86,7 +88,12 @@ def _pair_compact(seg_s, col_s, new, pair_id, n_valid, *, cap):
     out_seg = jnp.zeros(cap, jnp.int32).at[idx].set(seg_s, mode="drop")
     out_col = jnp.zeros(cap, jnp.int32).at[idx].set(col_s, mode="drop")
     pos = jnp.arange(seg_s.shape[0], dtype=jnp.int32)
-    starts = jnp.full(cap + 1, n_valid, jnp.int32).at[idx].set(
+    # starts has cap+1 entries, so the drop target must be cap+1: index cap
+    # IS valid here and a `cap` drop target corrupted the final count
+    # exactly when n_pairs == cap (every non-flagged row scattered into the
+    # closing boundary).
+    idx_starts = jnp.where(new, pair_id, cap + 1)
+    starts = jnp.full(cap + 1, n_valid, jnp.int32).at[idx_starts].set(
         pos, mode="drop"
     )
     counts = jnp.diff(starts)
@@ -128,11 +135,18 @@ class DevicePairTable:
             rgb_flat = images_dev.reshape(-1, 3)
         else:
             rgb_flat = jnp.asarray(tall_img.reshape(-1, 3))
-        seg_flat = jnp.asarray(
-            tall_seg.reshape(-1).astype(
-                np.uint16 if tall_seg.max() < 65536 else np.int32
-            )
+        seg_np = tall_seg.reshape(-1).astype(
+            np.uint16 if tall_seg.max() < 65536 else np.int32
         )
+        # Pad the pixel count to a pow2 bucket: the sort graph compiles once
+        # per bucket instead of once per batch size (padding rows carry
+        # segment 0 = sentinel, so they sort last and never become pairs).
+        n_pad = _pow2(len(seg_np), minimum=1 << 18) - len(seg_np)
+        if n_pad:
+            seg_np = np.pad(seg_np, (0, n_pad))
+            rgb_flat = jnp.pad(rgb_flat, ((0, n_pad), (0, 0)))
+        seg_flat = jnp.asarray(seg_np)
+        FLOPS.track(_pair_sort, (seg_flat, rgb_flat), {})
         (
             self._seg_s, self._col_s, self._perm, new, self._pair_id,
             n_pairs, n_valid,
@@ -143,6 +157,11 @@ class DevicePairTable:
             self.counts = np.zeros(0, np.int64)
             return
         cap = _pow2(self.n_pairs, minimum=4096)
+        FLOPS.track(
+            _pair_compact,
+            (self._seg_s, self._col_s, new, self._pair_id, jnp.int32(0)),
+            {"cap": cap},
+        )
         seg_t, col_t, counts = _pair_compact(
             self._seg_s, self._col_s, new, self._pair_id, n_valid, cap=cap
         )
@@ -163,7 +182,15 @@ class DevicePairTable:
         pad = _pow2(max(len(idx_of_pair), 1), minimum=4096)
         buf = np.zeros(pad, np.int32)
         buf[: len(idx_of_pair)] = idx_of_pair
-        out = _paint_indices(
-            self._perm, self._pair_id, self._seg_s, jnp.asarray(buf), u8=u8
+        buf_dev = jnp.asarray(buf)
+        FLOPS.track(
+            _paint_indices,
+            (self._perm, self._pair_id, self._seg_s, buf_dev),
+            {"u8": u8},
         )
-        return np.asarray(out)
+        out = _paint_indices(
+            self._perm, self._pair_id, self._seg_s, buf_dev, u8=u8
+        )
+        # Slice off the pow2 sort padding on device; only real pixels
+        # cross the tunnel.
+        return np.asarray(out[: self.n_pix])

@@ -34,9 +34,10 @@ def _pool() -> concurrent.futures.ThreadPoolExecutor:
 
 def submit(fn, *args, **kwargs) -> concurrent.futures.Future:
     """Run fn(*args, **kwargs) on the shared pool; returns its Future."""
-    from roibasedimagecompression_tpu.utils import warmup
+    from roibasedimagecompression_tpu.utils import flops, warmup
 
     warmup.record_call(fn, args, kwargs)
+    flops.track(fn, args, kwargs)
     return _pool().submit(fn, *args, **kwargs)
 
 

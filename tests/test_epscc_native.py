@@ -98,6 +98,29 @@ def test_device_pair_table_matches_native_pack(rng):
     assert (flat[~mask] == 0).all()
 
 
+def test_device_pair_table_cap_boundary():
+    """n_pairs == compaction cap: the closing count must stay exact.
+
+    4096 distinct (segment, color) pairs hit the minimum pow2 cap exactly;
+    the starts-scatter drop target regression corrupted the LAST pair's
+    pixel count in precisely this case.
+    """
+    from roibasedimagecompression_tpu.ops import pairs as PAIRS
+
+    vals = np.arange(4096, dtype=np.int64) + 1  # distinct non-black colors
+    img = np.stack(
+        [(vals >> 16) & 0xFF, (vals >> 8) & 0xFF, vals & 0xFF], axis=1
+    ).astype(np.uint8).reshape(64, 64, 3)
+    seg = np.ones((64, 64), np.int32)
+    out = native.pack_pairs(img, seg)
+    assert out is not None
+    uniq, _, counts = out
+    assert len(uniq) == 4096
+    dpt = PAIRS.DevicePairTable(seg, tall_img=img)
+    np.testing.assert_array_equal(uniq, dpt.uniq)
+    np.testing.assert_array_equal(counts, dpt.counts)
+
+
 def test_stream_device_pairs_bitstream_identical(rng, monkeypatch):
     """encode_many bytes must not depend on the pair-table backend."""
     from roibasedimagecompression_tpu import CodecConfig
