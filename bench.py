@@ -161,7 +161,7 @@ def main():
     # w3 0.795 / w4 0.940 MP/s; bsz=16 -> w1 0.768 / w2 0.934.
     workers = int(os.environ.get("RHCCQ_STREAM_WORKERS", "4"))
     dt = float("inf")
-    for attempt in range(2):
+    for attempt in range(3):  # best-of-3: single passes swing ~1.5x (host noise)
         timing.reset_stages()
         t0 = time.perf_counter()
         blob_batches = stream.encode_stream(bench_batches, cfg, workers=workers)
@@ -220,10 +220,15 @@ def main():
     # Measured on ONE solo warm batch — threaded-stream stage sums
     # double-count waits on the single-core host (every worker's blocking
     # collect counts the same wall), which inflated the round-2 numbers.
-    timing.reset_stages()
-    t0 = time.perf_counter()
-    stream.encode_many(bench_batches[0], cfg)
-    solo_dt = time.perf_counter() - t0
+    solo_dt = float("inf")
+    for _ in range(2):  # best-of-2: single samples swing 1.5x on this host
+        timing.reset_stages()
+        t0 = time.perf_counter()
+        stream.encode_many(bench_batches[0], cfg)
+        dt_i = time.perf_counter() - t0
+        if dt_i < solo_dt:
+            solo_dt = dt_i
+            solo_stages = timing.stage_report()
     solo_mp = sum(im.shape[0] * im.shape[1] for im in bench_batches[0]) / 1e6
     log(f"solo batch x{len(bench_batches[0])}: {solo_dt:.1f}s "
         f"({solo_mp / solo_dt:.3f} MP/s)")
@@ -231,7 +236,7 @@ def main():
         if jax.default_backend() != "tpu":
             raise OSError  # CPU smoke runs must not overwrite the TPU profile
         stages_out = {
-            k: round(v["seconds"], 3) for k, v in timing.stage_report().items()
+            k: round(v["seconds"], 3) for k, v in solo_stages.items()
         }
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_STAGES.json"), "w") as f:
@@ -247,7 +252,7 @@ def main():
     if os.environ.get("RHCCQ_RECORD_MANIFEST"):
         n = warmup.save(warmup.default_manifest_path())
         log(f"manifest: saved {n} entries to {warmup.default_manifest_path()}")
-    log(f"stages: { {k: round(v['seconds'], 2) for k, v in timing.stage_report().items()} }")
+    log(f"stages: { {k: round(v['seconds'], 2) for k, v in solo_stages.items()} }")
 
     # MFU accounting pass: one more solo batch with XLA cost analysis
     # accumulating executed device flops (utils/flops.py).  Run AFTER the

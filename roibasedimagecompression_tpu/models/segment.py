@@ -127,15 +127,18 @@ def process_regions_with_reassignment(
 class DeviceBatch:
     """Device-resident image batch + region-id rasters for in-graph crops.
 
-    The tunneled chip uploads at ~80 MB/s with ~40 ms fixed cost per
-    transfer, so the old host-packed crop buckets (every bucket re-uploading
-    its padded crops) were upload-bound.  Instead the same-shape image batch
-    and two uint16 region-id rasters (ROI and non-ROI regions can overlap in
-    the 3-px buffer zone, extract_roi_nonroi roi.py:685-718 — hence one map
-    per kind) upload ONCE, zero-padded by 256 px on device so every bucket
-    window is a clean dynamic_slice; each bucket's kernel gathers its own
-    crops in-graph.  Zeroing beyond each region's bbox inside the window
-    reproduces the host packing exactly (conv boundary parity).
+    The tunneled chip uploads at ~41 MB/s with ~24 ms fixed cost per
+    transfer (scripts/ceiling.py, round 4), so the old host-packed crop
+    buckets (every bucket re-uploading its padded crops) were upload-bound.
+    Instead the same-shape image batch and two region-id rasters (ROI and
+    non-ROI regions can overlap in the 3-px buffer zone, extract_roi_nonroi
+    roi.py:685-718 — hence one map per kind; uint8 when the batch has <255
+    regions, uint16 otherwise) upload ONCE, zero-padded by 256 px on device
+    so every bucket window is a clean dynamic_slice; each bucket's kernel
+    gathers its own crops in-graph.  Zeroing beyond each region's bbox
+    inside the window reproduces the host packing exactly (conv boundary
+    parity).  The tier-1 device pair table (ops/pairs.py) reuses `img`, so
+    batch pixels cross the tunnel exactly once per encode.
     """
 
     PAD = 256  # >= max bucket overshoot (score tiers step <= 256, SLIC < 128)

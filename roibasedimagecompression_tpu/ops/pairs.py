@@ -178,9 +178,14 @@ class DevicePairTable:
         """
         if repair_remap is not None:
             idx_of_pair = idx_of_pair[repair_remap]
-        u8 = bool(idx_of_pair.size == 0 or idx_of_pair.max() < 256)
+        mx = int(idx_of_pair.max()) if idx_of_pair.size else 0
+        u8 = mx < 256
         pad = _pow2(max(len(idx_of_pair), 1), minimum=4096)
-        buf = np.zeros(pad, np.int32)
+        # Narrowest upload dtype that fits (the pow2-padded int32 table was
+        # a 4 MB upload for the 8-image batch; u8 covers the default preset).
+        buf = np.zeros(pad, np.uint8 if u8 else (
+            np.uint16 if mx < 65536 else np.int32
+        ))
         buf[: len(idx_of_pair)] = idx_of_pair
         buf_dev = jnp.asarray(buf)
         FLOPS.track(
