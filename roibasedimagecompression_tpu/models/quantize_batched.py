@@ -979,7 +979,7 @@ def _pca_chunk_ranks(colors, order, starts, sizes, oversized):
     oversized clusters along each cluster's OWN principal axis.
 
     Vectorized across all clusters: per-cluster 3x3 covariances by
-    np.add.at, principal axes by 12 rounds of batched power iteration
+    segmented bincounts, principal axes by 12 rounds of batched power iteration
     (BT.601 luma fallback for degenerate clusters), one global lexsort for
     the within-cluster ranks.  Shared by the median-cut split (binary cuts
     at the median rank) and the k-means-mc init (k-way chunk means).
@@ -992,12 +992,20 @@ def _pca_chunk_ranks(colors, order, starts, sizes, oversized):
     pts = colors[pos].astype(np.float64)
 
     m = len(n)
-    sums = np.zeros((m, 3))
-    np.add.at(sums, flat_row, pts)
+    # Segmented sums via bincount — np.add.at is an order of magnitude
+    # slower on these row counts (hundreds of thousands per split level).
+    sums = np.stack(
+        [np.bincount(flat_row, weights=pts[:, c], minlength=m) for c in range(3)],
+        axis=1,
+    )
     mu = sums / n[:, None]
     d = pts - mu[flat_row]
     cov = np.zeros((m, 3, 3))
-    np.add.at(cov, flat_row, d[:, :, None] * d[:, None, :])
+    for a in range(3):
+        for b in range(a, 3):
+            s = np.bincount(flat_row, weights=d[:, a] * d[:, b], minlength=m)
+            cov[:, a, b] = s
+            cov[:, b, a] = s
     v = np.full((m, 3), 0.577350269)
     for _ in range(12):
         v = np.einsum("mij,mj->mi", cov, v)

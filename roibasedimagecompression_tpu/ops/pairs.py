@@ -97,7 +97,9 @@ def _pair_compact(seg_s, col_s, new, pair_id, n_valid, *, cap):
         pos, mode="drop"
     )
     counts = jnp.diff(starts)
-    return out_seg, out_col, counts
+    # One stacked table -> one tunnel transfer (three separate downloads
+    # paid the ~24 ms round trip each).
+    return jnp.stack([out_seg, out_col, counts], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("u8",))
@@ -162,13 +164,12 @@ class DevicePairTable:
             (self._seg_s, self._col_s, new, self._pair_id, jnp.int32(0)),
             {"cap": cap},
         )
-        seg_t, col_t, counts = _pair_compact(
+        table = _pair_compact(
             self._seg_s, self._col_s, new, self._pair_id, n_valid, cap=cap
         )
-        seg_t = np.asarray(seg_t[: self.n_pairs])
-        col_t = np.asarray(col_t[: self.n_pairs])
-        self.counts = np.asarray(counts[: self.n_pairs]).astype(np.int64)
-        self.uniq = (seg_t.astype(np.int64) << 24) | col_t.astype(np.int64)
+        table = np.asarray(table[: self.n_pairs])
+        self.counts = table[:, 2].astype(np.int64)
+        self.uniq = (table[:, 0].astype(np.int64) << 24) | table[:, 1]
 
     def paint(self, idx_of_pair: np.ndarray, repair_remap=None) -> np.ndarray:
         """(n_pix,) final palette indices (uint8 when every index fits).

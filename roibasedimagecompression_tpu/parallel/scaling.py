@@ -31,9 +31,12 @@ TOP_STAGES = (
     "s.tier1", "s.tier23", "s.container",
 )
 HOST_TOP = {"s.thresholds", "s.roi_masks", "s.extract", "s.container"}
-# Host-side sub-stages nested inside s.tier1 (pair packing + means are
+# Host-side sub-stages nested inside s.tier1.  Round 4: t1.epscc runs as
+# the native grid union-find by default (host); t1.pairs_dev (the device
+# pair sort + table download) counts as device/tunnel time and is NOT
+# listed here.  (Pair packing + means are
 # native C++; the rest of tier1 is device waves).
-HOST_IN_TIER1 = ("t1.pairs", "t1.means")
+HOST_IN_TIER1 = ("t1.pairs", "t1.means", "t1.epscc")
 
 
 def split_profile(stages: dict) -> tuple[float, float]:

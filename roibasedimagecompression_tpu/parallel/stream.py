@@ -89,8 +89,17 @@ def encode_many(
                 def one_mask(k):
                     return RF.roi_masks_fast(batch[k], config, lows[k], highs[k])
 
-                with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
-                    masks = list(pool.map(one_mask, range(b)))
+                import os as _os2
+
+                if (_os2.cpu_count() or 1) > 1:
+                    with concurrent.futures.ThreadPoolExecutor(
+                        max_workers=8
+                    ) as pool:
+                        masks = list(pool.map(one_mask, range(b)))
+                else:
+                    # One host core: the pool only adds switch overhead to a
+                    # chain that is pure native CPU work.
+                    masks = [one_mask(k) for k in range(b)]
                 roi_masks = np.stack([m[0] for m in masks])
                 nonroi_masks = np.stack([m[1] for m in masks])
         elif mesh is not None:
