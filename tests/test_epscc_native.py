@@ -141,6 +141,25 @@ def test_stream_device_pairs_bitstream_identical(rng, monkeypatch):
     assert a == b
 
 
+def test_stream_device_pairs_u16_paint(rng, monkeypatch):
+    """>256-color palettes take the u16 paint variant; bytes must still
+    match the host path."""
+    from roibasedimagecompression_tpu import CodecConfig
+    from roibasedimagecompression_tpu.io import container
+    from roibasedimagecompression_tpu.parallel import stream
+
+    # High quality keeps most colors -> final palette well above 256.
+    im = np.asarray(rng.integers(0, 256, (64, 64, 3)), np.uint8)
+    # q=95 -> tier-2 law min(2q,100)=100, tier-3 min(q2r+q2n,100)=100.
+    cfg = CodecConfig(roi_quality=95, nonroi_quality=95)
+    monkeypatch.setenv("RHCCQ_DEVICE_PAIRS", "0")
+    a = stream.encode_many([im], cfg)
+    monkeypatch.setenv("RHCCQ_DEVICE_PAIRS", "1")
+    b = stream.encode_many([im], cfg)
+    assert a == b
+    assert container.unpack(b[0]).n_colors > 256
+
+
 def test_epscc_backend_bitstream_identical(rng, monkeypatch):
     """encode() bytes must not depend on the eps-CC backend."""
     from roibasedimagecompression_tpu import CodecConfig
