@@ -161,7 +161,7 @@ def main():
     # w3 0.795 / w4 0.940 MP/s; bsz=16 -> w1 0.768 / w2 0.934.
     workers = int(os.environ.get("RHCCQ_STREAM_WORKERS", "4"))
     dt = float("inf")
-    for attempt in range(3):  # best-of-3: single passes swing ~1.5x (host noise)
+    for attempt in range(4):  # best-of-4: single passes swing ~1.5x (host noise)
         timing.reset_stages()
         t0 = time.perf_counter()
         blob_batches = stream.encode_stream(bench_batches, cfg, workers=workers)
