@@ -113,6 +113,12 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.roi_pipeline_pre.restype = None
+        lib.roi_pipeline_pre.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.canny_analysis.restype = None
         lib.canny_analysis.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
@@ -291,10 +297,14 @@ def gradient_nms_rgb(image_rgb: np.ndarray):
     return mag, nms.astype(bool)
 
 
-def roi_pipeline(image_rgb: np.ndarray, low: float, high: float, rc):
+def roi_pipeline(image_rgb: np.ndarray, low: float, high: float, rc,
+                 pre=None):
     """Native ROI mask pipeline (roi_masks_device semantics, host C++).
 
-    image_rgb: (h, w, 3) uint8; rc: config.RoiConfig.
+    image_rgb: (h, w, 3) uint8; rc: config.RoiConfig; pre: optional
+    (mag int32, nms bool) gradient/NMS already computed by canny_analysis
+    during threshold selection — skips the pipeline's own gradient pass
+    (the image's heaviest single native stage).
     Returns (roi_mask, nonroi_mask) bool arrays, or None when the native
     library is unavailable (callers fall back to the device graph).
     """
@@ -326,10 +336,19 @@ def roi_pipeline(image_rgb: np.ndarray, low: float, high: float, rc):
     )
     roi = np.empty((h, w), np.uint8)
     nonroi = np.empty((h, w), np.uint8)
-    lib.roi_pipeline(
-        img.ctypes.data, h, w, ip.ctypes.data, fp.ctypes.data,
-        roi.ctypes.data, nonroi.ctypes.data,
-    )
+    if pre is not None:
+        mag = np.ascontiguousarray(pre[0], np.int32)
+        nms = np.ascontiguousarray(pre[1], np.uint8)
+        lib.roi_pipeline_pre(
+            img.ctypes.data, h, w, ip.ctypes.data, fp.ctypes.data,
+            mag.ctypes.data, nms.ctypes.data,
+            roi.ctypes.data, nonroi.ctypes.data,
+        )
+    else:
+        lib.roi_pipeline(
+            img.ctypes.data, h, w, ip.ctypes.data, fp.ctypes.data,
+            roi.ctypes.data, nonroi.ctypes.data,
+        )
     return roi.astype(bool), nonroi.astype(bool)
 
 

@@ -795,8 +795,12 @@ int32_t components_with_sums(const uint8_t* m, int h, int w, int conn,
 //   buffer_size]
 // float params: [low, high, thin_density_threshold, thin_thinness_threshold,
 //   noise_density_threshold, bridge1_density, border_sensitivity]
-void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
-                  const float* fp, uint8_t* roi_out, uint8_t* nonroi_out) {
+// mag_pre/nms_pre: optional precomputed gradient/NMS (canny_analysis
+// already ran them for threshold selection; null -> compute here).
+void roi_pipeline_pre(const uint8_t* rgb, int32_t h, int32_t w,
+                      const int32_t* ip, const float* fp,
+                      const int32_t* mag_pre, const uint8_t* nms_pre,
+                      uint8_t* roi_out, uint8_t* nonroi_out) {
   using namespace roi;
   StageClock _sc;
   const int64_t n = static_cast<int64_t>(h) * w;
@@ -812,11 +816,17 @@ void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
   const float border_sens = fp[6];
 
   // 1-2. Gradient/NMS + hysteresis -> edges.
-  std::vector<int32_t> mag(n);
-  std::vector<uint8_t> nms(n);
-  gradient_nms(rgb, h, w, 3, mag.data(), nms.data());
+  std::vector<int32_t> mag;
+  std::vector<uint8_t> nms;
+  if (!mag_pre || !nms_pre) {
+    mag.resize(n);
+    nms.resize(n);
+    gradient_nms(rgb, h, w, 3, mag.data(), nms.data());
+    mag_pre = mag.data();
+    nms_pre = nms.data();
+  }
   std::vector<uint8_t> edges(n);
-  hysteresis(mag.data(), nms.data(), h, w, low, high, edges.data());
+  hysteresis(mag_pre, nms_pre, h, w, low, high, edges.data());
   _sc.lap("grad+hyst");
 
   // 3. Density filter: thr = mean(density at edge pixels) / 100.
@@ -1684,6 +1694,11 @@ void cc_label_means(const int32_t* labels, const double* values, int64_t n,
   for (int32_t l = 0; l <= num_labels; ++l) {
     means_out[l] = counts[l] ? sums[l] / counts[l] : 0.0;
   }
+}
+
+void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
+                  const float* fp, uint8_t* roi_out, uint8_t* nonroi_out) {
+  roi_pipeline_pre(rgb, h, w, ip, fp, nullptr, nullptr, roi_out, nonroi_out);
 }
 
 }  // extern "C"

@@ -46,6 +46,23 @@ def test_native_roi_pipeline_matches_device(lenna128):
     assert (nn == nd).mean() > 0.999
 
 
+def test_native_roi_pipeline_pre_matches_internal(lenna128):
+    """roi_pipeline(pre=(mag, nms)) with the gradient the pipeline would
+    compute itself must be byte-identical to the self-computing call —
+    callers that already hold the color gradient (e.g. after get_edge_map)
+    can skip the pipeline's own gradient pass."""
+    from roibasedimagecompression_tpu.config import RoiConfig
+    from roibasedimagecompression_tpu.ops import canny as CANNY
+
+    rc = RoiConfig()
+    low, high = CANNY.select_thresholds_pair(lenna128)
+    mag, nms = native.gradient_nms_rgb(lenna128)
+    r0, n0 = native.roi_pipeline(lenna128, low, high, rc)
+    r1, n1 = native.roi_pipeline(lenna128, low, high, rc, pre=(mag, nms))
+    assert (r0 == r1).all()
+    assert (n0 == n1).all()
+
+
 def test_native_roi_pipeline_shapes_and_cover():
     """ROI and non-ROI masks must cover the image (buffer overlap allowed)."""
     from roibasedimagecompression_tpu.config import RoiConfig
