@@ -322,6 +322,34 @@ def tiers23_colors_many(t1_list: list, group_map_list: list, config: cfg.CodecCo
     return t2_list, t3_list
 
 
+def _pow2_refit(n: int, minimum: int = 64) -> int:
+    """pow2 bucket for the refit table's per-image stride (bounds the
+    _refit_sums compile count across palette sizes)."""
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+def _apply_refit_sums(palette: np.ndarray, rows: np.ndarray) -> np.ndarray:
+    """Finish the device refit: rows = (len(palette), 4) int32
+    [count, sum_r, sum_g, sum_b] — same frozen-black law and f64
+    round(sums/count) as refine.refit_pixels, so the result is
+    bit-identical to the host bincount path."""
+    pal = np.asarray(palette, np.uint8)
+    if len(pal) == 0:
+        return pal.copy()
+    frozen = (pal == 0).all(axis=1)
+    if bool(frozen.all()):
+        return pal.copy()
+    cnt = rows[:, 0].astype(np.int64)
+    sums = rows[:, 1:4].astype(np.float64)
+    upd = (~frozen) & (cnt > 0)
+    out = pal.copy()
+    out[upd] = np.round(sums[upd] / cnt[upd, None]).astype(np.uint8)
+    return out
+
+
 def tiers23_palette_indices(
     table: dict,
     seg_group: np.ndarray,
@@ -330,6 +358,7 @@ def tiers23_palette_indices(
     shape: tuple,
     config: cfg.CodecConfig,
     mesh=None,
+    refit_originals: np.ndarray | None = None,
 ) -> list:
     """Tiers 2/3 + final palette, composed on the tier-1 CLUSTER table.
 
@@ -350,6 +379,15 @@ def tiers23_palette_indices(
       image_of_seg: (n_seg_total+1,) int image index per global segment.
       n_images: number of images in the stack.
       shape: (h, w) of one image.
+      refit_originals: optional (b, h, w, 3) uint8 original images.  When
+        given and the config enables the zero-rate palette refit, the
+        returned palettes are ALREADY refitted (models/refine.refit_pixels
+        semantics, bit-identical): the device-pair path accumulates the
+        count/RGB-sum table on device (ops/pairs._refit_sums) so the host
+        bincount chain drops out; the host-paint path falls back to
+        refit_pixels.  Callers passing this must skip their own
+        maybe_refit (refit is idempotent, but doubled host work defeats
+        the point).
     Returns:
       list of (palette (m, 3) uint8, indices (h, w) minimal unsigned dtype)
       per image — identical to unique_colors over the tier-3 canvas of the
@@ -476,18 +514,35 @@ def tiers23_palette_indices(
 
         idx_of_pair = idx_of_cluster[cop].astype(np.int32)
         inverse = table["inverse"]
+        do_refit = refit_originals is not None and RF.effective_refit(config)
         out = []
         if inverse is None:
             # Device-pair path: the pixel -> pair mapping lives on device;
             # one gather + scatter paints the final indices and only the
             # narrow per-pixel index map (u8/u16) crosses the tunnel.
-            flat = table["device_pairs"].paint(
-                idx_of_pair, table["repair_remap"]
+            refit_bins = None
+            # int32 sums stay exact only while 255 * hw < 2^31 (refine.py
+            # exactness contract); bigger images fall back to host refit.
+            if do_refit and 255 * h * w < 2**31:
+                k_pad = _pow2_refit(max(len(p) for p in results))
+                refit_bins = (b, h * w, k_pad)
+            painted = table["device_pairs"].paint(
+                idx_of_pair, table["repair_remap"], refit_bins=refit_bins
             )
+            if refit_bins is not None:
+                flat, sums = painted
+                for i in range(b):
+                    results[i] = _apply_refit_sums(
+                        results[i], sums[i * k_pad : i * k_pad + len(results[i])]
+                    )
+            else:
+                flat = painted
             for i in range(b):
                 pal = results[i]
                 dt = C.min_index_dtype(max(len(pal) - 1, 0))
                 idx_map = flat[i * h * w : (i + 1) * h * w].reshape(h, w)
+                if refit_bins is None and do_refit:
+                    pal = RF.refit_pixels(refit_originals[i], pal, idx_map)
                 out.append((pal, idx_map.astype(dt, copy=False)))
             return out
         n_masked = (h * w) - bg_counts
@@ -502,6 +557,8 @@ def tiers23_palette_indices(
                 idx_map.reshape(-1)[np.flatnonzero(mask_i.ravel())] = idx_of_pair[
                     inv_i
                 ].astype(dt)
+            if do_refit:
+                pal = RF.refit_pixels(refit_originals[i], pal, idx_map)
             out.append((pal, idx_map))
     return out
 

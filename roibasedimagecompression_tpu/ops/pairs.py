@@ -114,6 +114,38 @@ def _paint_indices(perm, pair_id_sorted, seg_s, idx_of_pair, *, u8: bool):
     return out.at[perm].set(vals, unique_indices=True)
 
 
+@functools.partial(jax.jit, static_argnames=("k_pad", "hw", "b"))
+def _refit_sums(perm, pair_id_sorted, seg_s, col_s, idx_of_pair,
+                *, k_pad: int, hw: int, b: int):
+    """Per-(image, palette-index) pixel counts + exact RGB sums on device.
+
+    The zero-rate palette refit (models/refine.refit_pixels) is a bincount
+    of the ORIGINAL pixels at fixed final indices; every input lives on
+    device already (sorted colors + the paint's index table), so the host
+    bincount chain drops out of the steady state.  int32 accumulation is
+    exact (per-bin channel sums <= 255 * hw < 2^31, enforced by the caller),
+    hence bit-identical to the host f64-bincount path.  Masked pixels are
+    enough: background pixels only map to palette index 0 when the palette's
+    first entry is black, which refit freezes (refine.py black law).
+    """
+    valid = seg_s != _SENTINEL
+    safe = jnp.where(valid, pair_id_sorted, 0)
+    idx = jnp.where(valid, idx_of_pair[safe].astype(jnp.int32), 0)
+    img = perm // hw
+    bins = jnp.where(valid, img * k_pad + idx, b * k_pad)
+    data = jnp.stack(
+        [
+            jnp.ones_like(col_s),
+            (col_s >> 16) & 0xFF,
+            (col_s >> 8) & 0xFF,
+            col_s & 0xFF,
+        ],
+        axis=1,
+    )
+    out = jnp.zeros((b * k_pad + 1, 4), jnp.int32)
+    return out.at[bins].add(data)[:-1]
+
+
 class DevicePairTable:
     """Pair table built on device; per-pixel state stays device-resident.
 
@@ -171,11 +203,17 @@ class DevicePairTable:
         self.counts = table[:, 2].astype(np.int64)
         self.uniq = (table[:, 0].astype(np.int64) << 24) | table[:, 1]
 
-    def paint(self, idx_of_pair: np.ndarray, repair_remap=None) -> np.ndarray:
+    def paint(self, idx_of_pair: np.ndarray, repair_remap=None,
+              refit_bins: tuple | None = None):
         """(n_pix,) final palette indices (uint8 when every index fits).
 
         idx_of_pair indexes the POST-repair pair table; repair_remap (from
         the black repair) lifts it back to this table's pre-repair rows.
+
+        refit_bins: optional (b, hw, k_pad) — also accumulate the device
+        refit table (_refit_sums) and return (indices, (b*k_pad, 4) int32
+        [count, sum_r, sum_g, sum_b]); the sums dispatch before the index
+        download so the tiny table rides the same device wait.
         """
         if repair_remap is not None:
             idx_of_pair = idx_of_pair[repair_remap]
@@ -197,6 +235,21 @@ class DevicePairTable:
         out = _paint_indices(
             self._perm, self._pair_id, self._seg_s, buf_dev, u8=u8
         )
+        sums = None
+        if refit_bins is not None:
+            b, hw, k_pad = refit_bins
+            FLOPS.track(
+                _refit_sums,
+                (self._perm, self._pair_id, self._seg_s, self._col_s, buf_dev),
+                {"k_pad": k_pad, "hw": hw, "b": b},
+            )
+            sums = _refit_sums(
+                self._perm, self._pair_id, self._seg_s, self._col_s, buf_dev,
+                k_pad=k_pad, hw=hw, b=b,
+            )
         # Slice off the pow2 sort padding on device; only real pixels
         # cross the tunnel.
-        return np.asarray(out[: self.n_pix])
+        host = np.asarray(out[: self.n_pix])
+        if refit_bins is None:
+            return host
+        return host, np.asarray(sums)

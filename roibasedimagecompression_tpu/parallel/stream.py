@@ -234,17 +234,17 @@ def encode_many(
         ] * b
     else:
         with stage_timer("s.tier23"):
+            # refit_originals: the zero-rate palette refit happens inside
+            # (on device for the pair path) — finish() must not re-apply it.
             pal_idx = CODEC.tiers23_palette_indices(
-                table, seg_group, image_of_seg, b, (h, w), config, mesh=mesh
+                table, seg_group, image_of_seg, b, (h, w), config, mesh=mesh,
+                refit_originals=batch,
             )
 
     # 5. Container packing: host DEFLATE parallelized in a thread pool (zlib
     #    releases the GIL; device work is already done at this point).
     def finish(k: int) -> bytes:
-        from roibasedimagecompression_tpu.models import refine as RF
-
         palette, indices = pal_idx[k]
-        palette = RF.maybe_refit(batch[k], palette, indices, config)
         return container.pack(palette, indices, level=config.container_level)
 
     results: list = [None] * b

@@ -323,6 +323,20 @@ def test_encode_many_matches_single(lenna128):
     assert batch == singles
 
 
+def test_encode_many_device_refit_matches_single(lenna128):
+    """Default config (palette_refit on): the batched path's DEVICE refit
+    (ops/pairs._refit_sums int32 accumulation) must be bit-identical to the
+    per-image host refit (refine.refit_pixels f64 bincount)."""
+    from roibasedimagecompression_tpu.parallel import stream
+
+    cfg_ = rtc.CodecConfig()
+    assert cfg_.palette_refit  # the law this test pins
+    imgs = [lenna128, lenna128[::-1].copy()]
+    batch = stream.encode_many(imgs, cfg_)
+    singles = [rtc.encode(im, cfg_) for im in imgs]
+    assert batch == singles
+
+
 def test_encode_accepts_gray_and_rgba(lenna128):
     gray = lenna128[..., 0]
     d1 = rtc.encode(gray, rtc.CodecConfig(single_region=True))
