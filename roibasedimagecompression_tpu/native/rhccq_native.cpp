@@ -1779,15 +1779,39 @@ void epscc_grid_labels(const int32_t* colors_packed, const int64_t* starts,
     uf.reset(static_cast<int32_t>(n));
     // Sort local indices by cell key (key fits: g^3 <= 256^3 = 2^24; n < 2^20).
     ckey_idx.clear();
-    ckey_idx.reserve(n);
-    for (int64_t i = 0; i < n; ++i) {
-      const int32_t c = pts[i];
-      const int64_t cx = ((c >> 16) & 0xFF) / cell;
-      const int64_t cy = ((c >> 8) & 0xFF) / cell;
-      const int64_t cz = (c & 0xFF) / cell;
-      ckey_idx.push_back((((cx * g + cy) * g + cz) << 32) | i);
+    ckey_idx.resize(n);
+    const int64_t n_cells_total = g * g * g;
+    if (n_cells_total <= 32768) {
+      // Counting sort over the dense cell space: the default-quality radii
+      // (eps = 128 - 1.28q -> cell 59-66, g = 4-5, <= 125 cells) make the
+      // comparison sort the run's dominant cost; this is O(n + g^3) with
+      // identical (key, index) ordering (indices placed in ascending order
+      // per cell == std::sort of key<<32|i).
+      std::vector<int32_t> keys(n);
+      std::vector<int64_t> hist(n_cells_total + 1, 0);
+      for (int64_t i = 0; i < n; ++i) {
+        const int32_t c = pts[i];
+        const int32_t cx = ((c >> 16) & 0xFF) / cell;
+        const int32_t cy = ((c >> 8) & 0xFF) / cell;
+        const int32_t cz = (c & 0xFF) / cell;
+        keys[i] = static_cast<int32_t>((cx * g + cy) * g + cz);
+        ++hist[keys[i] + 1];
+      }
+      for (int64_t k = 0; k < n_cells_total; ++k) hist[k + 1] += hist[k];
+      for (int64_t i = 0; i < n; ++i) {
+        ckey_idx[hist[keys[i]]++] =
+            (static_cast<int64_t>(keys[i]) << 32) | i;
+      }
+    } else {
+      for (int64_t i = 0; i < n; ++i) {
+        const int32_t c = pts[i];
+        const int64_t cx = ((c >> 16) & 0xFF) / cell;
+        const int64_t cy = ((c >> 8) & 0xFF) / cell;
+        const int64_t cz = (c & 0xFF) / cell;
+        ckey_idx[i] = (((cx * g + cy) * g + cz) << 32) | i;
+      }
+      std::sort(ckey_idx.begin(), ckey_idx.end());
     }
-    std::sort(ckey_idx.begin(), ckey_idx.end());
     cell_start.clear();
     cell_key.clear();
     int64_t prev = -1;
