@@ -102,6 +102,27 @@ def _pair_compact(seg_s, col_s, new, pair_id, n_valid, *, cap):
     return jnp.stack([out_seg, out_col, counts], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _pair_compact_packed(seg_s, col_s, new, pair_id, n_valid, *, cap):
+    """_pair_compact with the row packed into TWO int32 words (8 B/row vs
+    12): a = seg << 16 | count_lo16, b = count_hi8 << 24 | col24.  Valid
+    only when seg < 2^16 and every count < 2^24 (caller gates on the pixel
+    total); the host unpacks via uint32 views, so the int32 sign bit is
+    just a carried bit."""
+    idx = jnp.where(new, pair_id, cap)
+    out_seg = jnp.zeros(cap, jnp.int32).at[idx].set(seg_s, mode="drop")
+    out_col = jnp.zeros(cap, jnp.int32).at[idx].set(col_s, mode="drop")
+    pos = jnp.arange(seg_s.shape[0], dtype=jnp.int32)
+    idx_starts = jnp.where(new, pair_id, cap + 1)
+    starts = jnp.full(cap + 1, n_valid, jnp.int32).at[idx_starts].set(
+        pos, mode="drop"
+    )
+    counts = jnp.diff(starts)
+    a = (out_seg << 16) | (counts & 0xFFFF)
+    b = ((counts >> 16) << 24) | out_col
+    return jnp.stack([a, b], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("u8",))
 def _paint_indices(perm, pair_id_sorted, seg_s, idx_of_pair, *, u8: bool):
     """Final palette-index paint: one gather + one scatter, all on device."""
@@ -191,6 +212,26 @@ class DevicePairTable:
             self.counts = np.zeros(0, np.int64)
             return
         cap = _pow2(self.n_pairs, minimum=4096)
+        seg_max = int(tall_seg.max())
+        if self.n_pix < (1 << 24) and seg_max < (1 << 16):
+            # Packed 8 B/row download (the 12 B/row table was ~9 MB/batch
+            # through the ~30 MB/s tunnel).
+            FLOPS.track(
+                _pair_compact_packed,
+                (self._seg_s, self._col_s, new, self._pair_id, jnp.int32(0)),
+                {"cap": cap},
+            )
+            table = _pair_compact_packed(
+                self._seg_s, self._col_s, new, self._pair_id, n_valid, cap=cap
+            )
+            packed = np.asarray(table[: self.n_pairs]).view(np.uint32)
+            seg = (packed[:, 0] >> 16).astype(np.int64)
+            col = (packed[:, 1] & 0xFFFFFF).astype(np.int64)
+            self.counts = (
+                (packed[:, 0] & 0xFFFF) | ((packed[:, 1] >> 24) << 16)
+            ).astype(np.int64)
+            self.uniq = (seg << 24) | col
+            return
         FLOPS.track(
             _pair_compact,
             (self._seg_s, self._col_s, new, self._pair_id, jnp.int32(0)),

@@ -121,6 +121,23 @@ def test_device_pair_table_cap_boundary():
     np.testing.assert_array_equal(counts, dpt.counts)
 
 
+def test_device_pair_table_wide_counts():
+    """Packed 8 B/row download: a pair count above 2^16 must round-trip
+    through the count_hi8 bits exactly (a 300x300 single-color segment)."""
+    from roibasedimagecompression_tpu.ops import pairs as PAIRS
+
+    img = np.full((300, 300, 3), 77, np.uint8)
+    img[0, 0] = (1, 2, 3)  # a second pair so compaction is non-trivial
+    seg = np.ones((300, 300), np.int32)
+    out = native.pack_pairs(img, seg)
+    assert out is not None
+    uniq, _, counts = out
+    assert counts.max() > (1 << 16)
+    dpt = PAIRS.DevicePairTable(seg, tall_img=img)
+    np.testing.assert_array_equal(uniq, dpt.uniq)
+    np.testing.assert_array_equal(counts, dpt.counts)
+
+
 def test_stream_device_pairs_bitstream_identical(rng, monkeypatch):
     """encode_many bytes must not depend on the pair-table backend."""
     from roibasedimagecompression_tpu import CodecConfig
