@@ -1728,9 +1728,11 @@ void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
 namespace {
 struct EpsUF {
   std::vector<int32_t> parent;
+  int32_t components = 0;
   void reset(int32_t n) {
     parent.resize(n);
     for (int32_t i = 0; i < n; ++i) parent[i] = i;
+    components = n;
   }
   int32_t find(int32_t x) {
     int32_t root = x;
@@ -1747,6 +1749,7 @@ struct EpsUF {
     int32_t ra = find(a), rb = find(b);
     if (ra == rb) return;
     if (ra < rb) parent[rb] = ra; else parent[ra] = rb;
+    --components;
   }
 };
 }  // namespace
@@ -1827,18 +1830,37 @@ void epscc_grid_labels(const int32_t* colors_packed, const int64_t* starts,
     const int64_t n_cells = static_cast<int64_t>(cell_key.size());
 
     // Within-cell union (cell diagonal <= eps by construction of `cell`;
-    // for cell == 1 members are identical coordinates, also fine).
+    // for cell == 1 members are identical coordinates, also fine) + the
+    // cell's point bounding box (prunes the cross-cell scans below).
+    std::vector<int32_t> blo(n_cells * 3), bhi(n_cells * 3);
     for (int64_t ci = 0; ci < n_cells; ++ci) {
       const int32_t first =
           static_cast<int32_t>(ckey_idx[cell_start[ci]] & 0xFFFFFFFFLL);
-      for (int64_t j = cell_start[ci] + 1; j < cell_start[ci + 1]; ++j) {
-        uf.unite(first, static_cast<int32_t>(ckey_idx[j] & 0xFFFFFFFFLL));
+      int32_t lo0 = 255, lo1 = 255, lo2 = 255, hi0 = 0, hi1 = 0, hi2 = 0;
+      for (int64_t j = cell_start[ci]; j < cell_start[ci + 1]; ++j) {
+        const int32_t idx = static_cast<int32_t>(ckey_idx[j] & 0xFFFFFFFFLL);
+        if (j > cell_start[ci]) uf.unite(first, idx);
+        const int32_t c = pts[idx];
+        const int32_t r0 = (c >> 16) & 0xFF, g1 = (c >> 8) & 0xFF,
+                      b0 = c & 0xFF;
+        if (r0 < lo0) lo0 = r0;
+        if (r0 > hi0) hi0 = r0;
+        if (g1 < lo1) lo1 = g1;
+        if (g1 > hi1) hi1 = g1;
+        if (b0 < lo2) lo2 = b0;
+        if (b0 > hi2) hi2 = b0;
       }
+      blo[ci * 3] = lo0; blo[ci * 3 + 1] = lo1; blo[ci * 3 + 2] = lo2;
+      bhi[ci * 3] = hi0; bhi[ci * 3 + 1] = hi1; bhi[ci * 3 + 2] = hi2;
     }
 
     // Cross-cell edges: for each occupied cell, probe occupied neighbor
-    // cells with a LARGER key (each unordered pair checked once).
-    for (int64_t ci = 0; ci < n_cells; ++ci) {
+    // cells with a LARGER key (each unordered pair checked once).  When the
+    // run has collapsed to ONE component every remaining probe/scan is a
+    // no-op (labels are the run minimum regardless) — exact early exit that
+    // skips the expensive non-connecting ambiguous scans; at the default
+    // ROI radius (eps = 102.4) most runs are a single eps-component.
+    for (int64_t ci = 0; ci < n_cells && uf.components > 1; ++ci) {
       const int64_t ck = cell_key[ci];
       const int64_t cz = ck % g, cy = (ck / g) % g, cx = ck / (g * g);
       for (int32_t dx = 0; dx <= R; ++dx) {
@@ -1870,6 +1892,26 @@ void epscc_grid_labels(const int32_t* colors_packed, const int64_t* starts,
             const int32_t pj =
                 static_cast<int32_t>(ckey_idx[cell_start[cj]] & 0xFFFFFFFFLL);
             if (uf.find(pi) == uf.find(pj)) continue;
+            // Point-bbox pruning: min-possible pair distance > eps -> no
+            // edge exists (skip the scan); max-possible <= eps -> every
+            // pair connects (union without scanning).  Both bounds use the
+            // same f32 predicate as the scan.
+            {
+              int64_t dmin2 = 0, dmax2 = 0;
+              for (int a2 = 0; a2 < 3; ++a2) {
+                const int32_t l1 = blo[ci * 3 + a2], h1 = bhi[ci * 3 + a2];
+                const int32_t l2 = blo[cj * 3 + a2], h2 = bhi[cj * 3 + a2];
+                const int32_t sep = l2 > h1 ? l2 - h1 : (l1 > h2 ? l1 - h2 : 0);
+                dmin2 += static_cast<int64_t>(sep) * sep;
+                const int32_t span = std::max(h2 - l1, h1 - l2);
+                dmax2 += static_cast<int64_t>(span) * span;
+              }
+              if (static_cast<float>(dmin2) > eps2) continue;
+              if (static_cast<float>(dmax2) <= eps2) {
+                uf.unite(pi, pj);
+                continue;
+              }
+            }
             // One connecting edge merges the two single-component cells.
             bool done = false;
             for (int64_t a = cell_start[ci]; a < cell_start[ci + 1] && !done;
@@ -1878,6 +1920,21 @@ void epscc_grid_labels(const int32_t* colors_packed, const int64_t* starts,
               const int32_t ca = pts[ia];
               const int64_t ar = (ca >> 16) & 0xFF, ag = (ca >> 8) & 0xFF,
                             ab = ca & 0xFF;
+              // Point-to-bbox prune: a cannot reach ANY point of cj unless
+              // it is within eps of cj's point bbox.
+              {
+                int64_t pd2 = 0;
+                const int32_t av[3] = {static_cast<int32_t>(ar),
+                                       static_cast<int32_t>(ag),
+                                       static_cast<int32_t>(ab)};
+                for (int a2 = 0; a2 < 3; ++a2) {
+                  const int32_t l2 = blo[cj * 3 + a2], h2 = bhi[cj * 3 + a2];
+                  const int32_t sep =
+                      av[a2] < l2 ? l2 - av[a2] : (av[a2] > h2 ? av[a2] - h2 : 0);
+                  pd2 += static_cast<int64_t>(sep) * sep;
+                }
+                if (static_cast<float>(pd2) > eps2) continue;
+              }
               for (int64_t b2 = cell_start[cj]; b2 < cell_start[cj + 1];
                    ++b2) {
                 const int32_t ib = static_cast<int32_t>(ckey_idx[b2] & 0xFFFFFFFFLL);
