@@ -663,16 +663,32 @@ void gradient_nms(const uint8_t* img, int h, int w, int channels, int32_t* mag,
   // gx = colsum[c+1]-colsum[c-1], gy = rowdiff[c-1]+2*rowdiff[c]+rowdiff[c+1]
   // with colsum = [1,2,1]^T and rowdiff = lower-upper (replicated borders) —
   // contiguous loads the compiler vectorizes, vs 8 stride-3 loads per pixel.
-  std::vector<uint8_t> plane(n);
+  // One interleaved pass fills all planes (vs `channels` strided passes
+  // over the full image).
+  std::vector<uint8_t> planes(n * channels);
+  if (channels == 3) {
+    uint8_t* p0 = planes.data();
+    uint8_t* p1 = planes.data() + n;
+    uint8_t* p2 = planes.data() + 2 * n;
+    for (int64_t i = 0; i < n; ++i) {
+      p0[i] = img[3 * i];
+      p1[i] = img[3 * i + 1];
+      p2[i] = img[3 * i + 2];
+    }
+  } else {
+    for (int ch = 0; ch < channels; ++ch)
+      for (int64_t i = 0; i < n; ++i)
+        planes[static_cast<int64_t>(ch) * n + i] = img[i * channels + ch];
+  }
   std::vector<int32_t> colsum(w), rowdiff(w);
   for (int ch = 0; ch < channels; ++ch) {
-    for (int64_t i = 0; i < n; ++i) plane[i] = img[i * channels + ch];
+    const uint8_t* plane_p = planes.data() + static_cast<int64_t>(ch) * n;
     for (int r = 0; r < h; ++r) {
       const uint8_t* pm =
-          plane.data() + static_cast<int64_t>(clampi(r - 1, 0, h - 1)) * w;
-      const uint8_t* pc = plane.data() + static_cast<int64_t>(r) * w;
+          plane_p + static_cast<int64_t>(clampi(r - 1, 0, h - 1)) * w;
+      const uint8_t* pc = plane_p + static_cast<int64_t>(r) * w;
       const uint8_t* pp =
-          plane.data() + static_cast<int64_t>(clampi(r + 1, 0, h - 1)) * w;
+          plane_p + static_cast<int64_t>(clampi(r + 1, 0, h - 1)) * w;
       for (int c = 0; c < w; ++c) {
         colsum[c] = pm[c] + 2 * pc[c] + pp[c];
         rowdiff[c] = static_cast<int32_t>(pp[c]) - pm[c];
@@ -698,6 +714,7 @@ void gradient_nms(const uint8_t* img, int h, int w, int channels, int32_t* mag,
     return bmag[static_cast<int64_t>(r) * w + c];
   };
   for (int r = 0; r < h; ++r) {
+    const bool row_border = (r == 0) || (r == h - 1);
     for (int c = 0; c < w; ++c) {
       const int64_t i = static_cast<int64_t>(r) * w + c;
       const float ax = std::abs(static_cast<float>(bgx[i]));
@@ -710,14 +727,27 @@ void gradient_nms(const uint8_t* img, int h, int w, int channels, int32_t* mag,
       const int32_t m = bmag[i];
       auto keep = [&](int32_t a, int32_t b2) { return m > a && m >= b2; };
       bool pass;
-      if (horizontal)
+      if (!row_border && c > 0 && c < w - 1) {
+        // Interior: direct offsets, no bounds checks (identical values —
+        // mag_at only differs by returning 0 outside the image).
+        const int32_t* mrow = bmag.data() + i;
+        if (horizontal)
+          pass = keep(mrow[-1], mrow[1]);
+        else if (vertical)
+          pass = keep(mrow[-w], mrow[w]);
+        else if (diag && same_sign)
+          pass = keep(mrow[-w - 1], mrow[w + 1]);
+        else
+          pass = keep(mrow[-w + 1], mrow[w - 1]);
+      } else if (horizontal) {
         pass = keep(mag_at(r, c - 1), mag_at(r, c + 1));
-      else if (vertical)
+      } else if (vertical) {
         pass = keep(mag_at(r - 1, c), mag_at(r + 1, c));
-      else if (diag && same_sign)
+      } else if (diag && same_sign) {
         pass = keep(mag_at(r - 1, c - 1), mag_at(r + 1, c + 1));
-      else
+      } else {
         pass = keep(mag_at(r - 1, c + 1), mag_at(r + 1, c - 1));
+      }
       nms[i] = pass ? 1 : 0;
     }
   }
@@ -1102,26 +1132,38 @@ void canny_analysis(const uint8_t* rgb, int32_t h, int32_t w,
   }
 
   // Sobel gradient magnitude statistics on gray (reflect-101 == clamp is NOT
-  // equivalent; use reflect-101 like ops/conv.sobel_cv2).
+  // equivalent; use reflect-101 like ops/conv.sobel_cv2).  Separable form:
+  // colsum = [1,2,1]^T column pass, rowdiff = lower - upper; identical
+  // integers and accumulation order to the direct 3x3 stencil (exact int
+  // arithmetic, row-major accumulation), but contiguous loads the compiler
+  // vectorizes instead of 8 reflect-indexed lookups per pixel.
   std::vector<int32_t> g2(n);  // gx^2 + gy^2 (exact int)
   double mean_acc = 0.0, sq_acc = 0.0;
-  for (int r = 0; r < h; ++r) {
-    const int rm = reflect101(r - 1, h), rp = reflect101(r + 1, h);
-    for (int c = 0; c < w; ++c) {
-      const int cm = reflect101(c - 1, w), cp = reflect101(c + 1, w);
-      auto px = [&](int rr, int cc) -> int32_t {
-        return gray_out[static_cast<int64_t>(rr) * w + cc];
-      };
-      const int32_t a = px(rm, cm), b = px(rm, c), c2 = px(rm, cp);
-      const int32_t d = px(r, cm), f = px(r, cp);
-      const int32_t g = px(rp, cm), hh = px(rp, c), i2 = px(rp, cp);
-      const int32_t gx = -a + c2 - 2 * d + 2 * f - g + i2;
-      const int32_t gy = -a - 2 * b - c2 + g + 2 * hh + i2;
-      const int64_t i = static_cast<int64_t>(r) * w + c;
-      g2[i] = gx * gx + gy * gy;
-      const double gm = std::sqrt(static_cast<double>(g2[i]));
-      mean_acc += gm;
-      sq_acc += gm * gm;
+  {
+    std::vector<int32_t> colsum(w), rowdiff(w);
+    for (int r = 0; r < h; ++r) {
+      const uint8_t* pm =
+          gray_out + static_cast<int64_t>(reflect101(r - 1, h)) * w;
+      const uint8_t* pc = gray_out + static_cast<int64_t>(r) * w;
+      const uint8_t* pp =
+          gray_out + static_cast<int64_t>(reflect101(r + 1, h)) * w;
+      for (int c = 0; c < w; ++c) {
+        colsum[c] = pm[c] + 2 * pc[c] + pp[c];
+        rowdiff[c] = static_cast<int32_t>(pp[c]) - pm[c];
+      }
+      int32_t* gr = g2.data() + static_cast<int64_t>(r) * w;
+      for (int c = 0; c < w; ++c) {
+        const int cm = reflect101(c - 1, w), cp = reflect101(c + 1, w);
+        const int32_t gx = colsum[cp] - colsum[cm];
+        const int32_t gy = rowdiff[cm] + 2 * rowdiff[c] + rowdiff[cp];
+        const int32_t v = gx * gx + gy * gy;
+        gr[c] = v;
+        // gm*gm (not v): sqrt-then-square rounding must match the original
+        // accumulation bit-for-bit, as must the global pixel-order sums.
+        const double gm = std::sqrt(static_cast<double>(v));
+        mean_acc += gm;
+        sq_acc += gm * gm;
+      }
     }
   }
   const float mean_g = static_cast<float>(mean_acc / n);
