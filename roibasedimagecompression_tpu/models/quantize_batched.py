@@ -157,7 +157,9 @@ def _eps_components_gather(colors_dev, starts, sizes, eps, *, cap, chunk):
     def one(s0, sz, e):
         v = pos < sz
         pts = jnp.where(
-            v[:, None], colors_dev[jnp.where(v, s0 + pos, 0)], 0.0
+            v[:, None],
+            colors_dev[jnp.where(v, s0 + pos, 0)].astype(jnp.float32),
+            0.0,
         )
         return CL.eps_components(pts, e, v, None, chunk=chunk)
 
@@ -181,7 +183,7 @@ def _kmeans_gather(
     def one(s0, sz, k):
         v = pos < sz
         idx = order_dev[jnp.where(v, s0 + pos, 0)]
-        pts = jnp.where(v[:, None], colors_dev[idx], 0.0)
+        pts = jnp.where(v[:, None], colors_dev[idx].astype(jnp.float32), 0.0)
         labels, _ = CL.kmeans(
             pts, v, k, k_max=k_max, iters=iters, seed=seed, chunk=chunk,
             plusplus=plusplus,
@@ -208,7 +210,7 @@ def _kmeans_gather_w(
     def one(s0, sz, k):
         v = pos < sz
         idx = order_dev[jnp.where(v, s0 + pos, 0)]
-        pts = jnp.where(v[:, None], colors_dev[idx], 0.0)
+        pts = jnp.where(v[:, None], colors_dev[idx].astype(jnp.float32), 0.0)
         w = jnp.where(v, weights_dev[idx], 0.0)
         labels, _ = CL.kmeans(
             pts, v, k, k_max=k_max, iters=iters, seed=seed, chunk=chunk,
@@ -235,7 +237,7 @@ def _kmeans_gather_init(
     def one(s0, sz, k, init):
         v = pos < sz
         idx = order_dev[jnp.where(v, s0 + pos, 0)]
-        pts = jnp.where(v[:, None], colors_dev[idx], 0.0)
+        pts = jnp.where(v[:, None], colors_dev[idx].astype(jnp.float32), 0.0)
         labels, _ = CL.kmeans(
             pts, v, k, k_max=k_max, iters=iters, chunk=chunk,
             plusplus=False, init_centers=init,
@@ -254,22 +256,45 @@ def _pow2(n: int, minimum: int = 1024) -> int:
 
 
 def _colors_device(colors: np.ndarray, mesh=None):
-    """Pad the (n, 3) f32 colors table to a pow2 row bucket and upload once
-    (replicated across the mesh when sharding)."""
+    """Pad the (n, 3) colors table to a pow2 row bucket and upload once
+    (replicated across the mesh when sharding).
+
+    Uploaded as uint8 — the values are exact 0..255 integers, the kernels
+    cast to f32 AFTER their gathers (bit-identical math), and the padded
+    f32 table was a 25 MB device_put per batch through the ~40 MB/s tunnel
+    (a 1.3M-pair Kodak batch pads to 2^21 rows)."""
     n = len(colors)
     pad = _pow2(n)
-    buf = np.zeros((pad, 3), np.float32)
-    buf[:n] = colors
+    buf = np.zeros((pad, 3), np.uint8)
+    buf[:n] = colors  # f32 -> u8 truncation; values are exact small ints
     return _replicated(buf, mesh)
 
 
-def _order_device(order: np.ndarray, mesh=None):
+@functools.partial(jax.jit, static_argnames=("grid",))
+def _embed_order(small: jax.Array, *, grid: int) -> jax.Array:
+    """Embed a small uploaded order prefix into the full-size grid buffer
+    the k-means gather kernels expect (zeros past the prefix are never
+    gathered — starts/sizes only address real rows)."""
+    return jax.lax.dynamic_update_slice(jnp.zeros(grid, jnp.int32), small, (0,))
+
+
+def _order_device(order: np.ndarray, mesh=None, grid: int | None = None):
     """Pad the split-level permutation to the same pow2 grid as the colors
     table — an unpadded operand compiles one _kmeans_gather graph per
     distinct pair-table length (measured: a single 256x256 CPU encode spent
-    >10 min compiling because every split level hit a fresh shape)."""
+    >10 min compiling because every split level hit a fresh shape).
+
+    With `grid` (single-device path), only pow2(len(order)) int32 rows cross
+    the tunnel and a device-side embed pads them to the grid: levels >= 1 of
+    the split recursion touch a shrinking active subset, but uploading the
+    full grid was a fixed 4 B x grid (~8 MB/level for a Kodak batch)."""
     n = len(order)
-    buf = np.zeros(_pow2(n), np.int32)
+    small_pad = _pow2(n)
+    if grid is not None and mesh is None and small_pad < grid:
+        buf = np.zeros(small_pad, np.int32)
+        buf[:n] = order
+        return _embed_order(jnp.asarray(buf), grid=grid)
+    buf = np.zeros(grid if grid is not None else small_pad, np.int32)
     buf[:n] = order
     return _replicated(buf, mesh)
 
@@ -703,6 +728,9 @@ def tier1_table(
             colors, cluster_of_pair, pair_max_colors, next_cluster, seed,
             mesh=mesh, method=split_method, margin=split_margin,
             weights=pair_weights if _weighted_split_on(weighted_split) else None,
+            colors_dev_pre=(
+                device_pairs.colors_dev if device_pairs is not None else None
+            ),
         )
 
     # ---- cluster mean colors (truncated uint8, clustering.py:305,347) ----
@@ -1093,7 +1121,7 @@ def _split_oversized_mediancut(colors, cluster_of_pair, pair_max_colors,
 
 def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
                              next_cluster, seed, mesh=None, method="kmeans",
-                             margin=1.0, weights=None):
+                             margin=1.0, weights=None, colors_dev_pre=None):
     """Split clusters above their per-segment max size with batched k-means.
 
     Mirrors split_large_cluster recursion (clustering.py:720-775) but level-
@@ -1268,8 +1296,16 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
         pending = []
         with stage_timer("split.kmeans"):
             if colors_dev is None:
-                colors_dev = _colors_device(colors, mesh)
-            order_dev = _order_device(order.astype(np.int32), mesh)
+                # Pair path: the post-repair colors table already sits on
+                # device (ops/pairs._post_repair_colors) — zero upload.
+                colors_dev = (
+                    colors_dev_pre
+                    if colors_dev_pre is not None and mesh is None
+                    else _colors_device(colors, mesh)
+                )
+            order_dev = _order_device(
+                order.astype(np.int32), mesh, grid=int(colors_dev.shape[0])
+            )
             if weights is not None and weights_dev is None:
                 wbuf = np.zeros(_pow2(len(weights)), np.float32)
                 wbuf[: len(weights)] = weights

@@ -76,13 +76,44 @@ def _pair_sort(seg_flat: jax.Array, rgb_flat: jax.Array):
     )
 
 
+def _post_repair_colors(out_seg, out_col, n_pairs, cap):
+    """Post-black-repair colors table, on device, from the compacted pairs.
+
+    native.black_repair_pairs drops row i exactly when it is a black pair
+    (col == 0, always its segment's FIRST row — the sort key is ascending)
+    in a segment with at least one non-black color, then compacts the kept
+    rows order-preservingly.  The same predicate + a stable cumsum
+    compaction reproduces the host colors table bit-for-bit — so the split
+    stage's colors operand never crosses the tunnel (the padded f32 upload
+    was ~25 MB/batch; see models/quantize_batched._colors_device).
+    """
+    rows = jnp.arange(cap, dtype=jnp.int32)
+    valid_row = rows < n_pairs
+    seg_next = jnp.roll(out_seg, -1)
+    drop = (
+        valid_row
+        & (out_col == 0)
+        & (rows + 1 < n_pairs)
+        & (seg_next == out_seg)
+    )
+    keep = valid_row & ~drop
+    newpos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    cidx = jnp.where(keep, newpos, cap)
+    rgb = jnp.stack(
+        [(out_col >> 16) & 0xFF, (out_col >> 8) & 0xFF, out_col & 0xFF],
+        axis=1,
+    ).astype(jnp.uint8)
+    return jnp.zeros((cap, 3), jnp.uint8).at[cidx].set(rgb, mode="drop")
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
-def _pair_compact(seg_s, col_s, new, pair_id, n_valid, *, cap):
+def _pair_compact(seg_s, col_s, new, pair_id, n_valid, n_pairs, *, cap):
     """Compact the flagged unique rows into (cap,) tables + pixel counts.
 
     Scatter with mode='drop': non-flagged rows target index `cap` (out of
     bounds) and vanish.  counts[j] = start[j+1] - start[j] over the sorted
-    run starts, with the tail closed by n_valid.
+    run starts, with the tail closed by n_valid.  Also returns the
+    POST-repair colors table (kept on device for the split stage).
     """
     idx = jnp.where(new, pair_id, cap)
     out_seg = jnp.zeros(cap, jnp.int32).at[idx].set(seg_s, mode="drop")
@@ -99,11 +130,15 @@ def _pair_compact(seg_s, col_s, new, pair_id, n_valid, *, cap):
     counts = jnp.diff(starts)
     # One stacked table -> one tunnel transfer (three separate downloads
     # paid the ~24 ms round trip each).
-    return jnp.stack([out_seg, out_col, counts], axis=1)
+    return (
+        jnp.stack([out_seg, out_col, counts], axis=1),
+        _post_repair_colors(out_seg, out_col, n_pairs, cap),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def _pair_compact_packed(seg_s, col_s, new, pair_id, n_valid, *, cap):
+def _pair_compact_packed(seg_s, col_s, new, pair_id, n_valid, n_pairs, *,
+                         cap):
     """_pair_compact with the row packed into TWO int32 words (8 B/row vs
     12): a = seg << 16 | count_lo16, b = count_hi8 << 24 | col24.  Valid
     only when seg < 2^16 and every count < 2^24 (caller gates on the pixel
@@ -120,7 +155,10 @@ def _pair_compact_packed(seg_s, col_s, new, pair_id, n_valid, *, cap):
     counts = jnp.diff(starts)
     a = (out_seg << 16) | (counts & 0xFFFF)
     b = ((counts >> 16) << 24) | out_col
-    return jnp.stack([a, b], axis=1)
+    return (
+        jnp.stack([a, b], axis=1),
+        _post_repair_colors(out_seg, out_col, n_pairs, cap),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("u8",))
@@ -207,6 +245,7 @@ class DevicePairTable:
             n_pairs, n_valid,
         ) = _pair_sort(seg_flat, rgb_flat)
         self.n_pairs = int(n_pairs)
+        self.colors_dev = None  # post-repair (cap, 3) u8, device-resident
         if self.n_pairs <= 0:
             self.uniq = np.zeros(0, np.int64)
             self.counts = np.zeros(0, np.int64)
@@ -218,11 +257,13 @@ class DevicePairTable:
             # through the ~30 MB/s tunnel).
             FLOPS.track(
                 _pair_compact_packed,
-                (self._seg_s, self._col_s, new, self._pair_id, jnp.int32(0)),
+                (self._seg_s, self._col_s, new, self._pair_id, jnp.int32(0),
+                 jnp.int32(0)),
                 {"cap": cap},
             )
-            table = _pair_compact_packed(
-                self._seg_s, self._col_s, new, self._pair_id, n_valid, cap=cap
+            table, self.colors_dev = _pair_compact_packed(
+                self._seg_s, self._col_s, new, self._pair_id, n_valid,
+                jnp.int32(self.n_pairs), cap=cap,
             )
             packed = np.asarray(table[: self.n_pairs]).view(np.uint32)
             seg = (packed[:, 0] >> 16).astype(np.int64)
@@ -234,11 +275,13 @@ class DevicePairTable:
             return
         FLOPS.track(
             _pair_compact,
-            (self._seg_s, self._col_s, new, self._pair_id, jnp.int32(0)),
+            (self._seg_s, self._col_s, new, self._pair_id, jnp.int32(0),
+             jnp.int32(0)),
             {"cap": cap},
         )
-        table = _pair_compact(
-            self._seg_s, self._col_s, new, self._pair_id, n_valid, cap=cap
+        table, self.colors_dev = _pair_compact(
+            self._seg_s, self._col_s, new, self._pair_id, n_valid,
+            jnp.int32(self.n_pairs), cap=cap,
         )
         table = np.asarray(table[: self.n_pairs])
         self.counts = table[:, 2].astype(np.int64)

@@ -98,6 +98,30 @@ def test_device_pair_table_matches_native_pack(rng):
     assert (flat[~mask] == 0).all()
 
 
+def test_device_pair_table_post_repair_colors(rng):
+    """The device-resident colors table (ops/pairs._post_repair_colors) must
+    equal the host post-repair table bit-for-bit: same kept-row predicate and
+    order-preserving compaction as native.black_repair_pairs."""
+    from roibasedimagecompression_tpu.ops import pairs as PAIRS
+
+    h, w = 48, 64
+    img = np.asarray(rng.integers(0, 4, (h, w, 3)), np.uint8)  # many blacks
+    img[0] = 0  # guaranteed black pixels in segment 1
+    seg = np.asarray(rng.integers(0, 5, (h, w)), np.int32)
+    seg[0] = 1
+    seg[1] = 6  # a black-only segment candidate
+    img[1] = 0
+    dpt = PAIRS.DevicePairTable(seg, tall_img=img)
+    assert dpt.colors_dev is not None
+    uniq = dpt.uniq.copy()
+    counts = dpt.counts.copy()
+    m, _ = native.black_repair_pairs(uniq, counts, None, return_remap=True)
+    host_colors = _unpack(uniq[:m] & 0xFFFFFF).astype(np.uint8)
+    dev_colors = np.asarray(dpt.colors_dev)
+    np.testing.assert_array_equal(dev_colors[:m], host_colors)
+    assert (dev_colors[m:] == 0).all()
+
+
 def test_device_pair_table_cap_boundary():
     """n_pairs == compaction cap: the closing count must stay exact.
 
