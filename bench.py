@@ -117,12 +117,18 @@ def main():
 
     cfg = CodecConfig()
 
-    # Four batches of 8: the 16 landscape originals plus their mirrors
-    # (distinct content, same shapes).  More batches per measurement lets the
-    # two pipeline threads interleave host and device phases more smoothly
-    # than a 2-batch run, where both threads hit device-heavy phases together.
-    mirrored = [np.ascontiguousarray(im[:, ::-1]) for im in bench_imgs]
-    all_imgs = bench_imgs + mirrored
+    # Eight batches of 8: the 16 landscape originals plus their three mirror
+    # variants (distinct content, same shapes).  Longer streams amortize the
+    # pipeline fill/drain: measured on-chip (round 4) the same work rate
+    # reads 0.80 MP/s over 4 batches and 0.89 MP/s over 8 — config 5 of
+    # BASELINE.json is a 1k-image stream, so the steadier number is the
+    # honest one.
+    all_imgs = (
+        bench_imgs
+        + [np.ascontiguousarray(im[:, ::-1]) for im in bench_imgs]
+        + [np.ascontiguousarray(im[::-1, :]) for im in bench_imgs]
+        + [np.ascontiguousarray(im[::-1, ::-1]) for im in bench_imgs]
+    )
     # Batch size knob: bigger device batches amortize launches and pack the
     # padded buckets denser; smaller ones overlap better across workers.
     bsz = int(os.environ.get("RHCCQ_BENCH_BATCH", "0")) or max(
