@@ -499,15 +499,17 @@ def tiers23_palette_indices(
 
         refine_iters = RF.effective_iters(config)
         if refine_iters > 0:
-            for i in range(b):
-                sel = img_of_cluster == i
-                if not sel.any():
-                    continue
-                new_pal, assign = RF.refine_palette(
-                    cluster_colors[sel], w_cluster[sel], results[i], refine_iters
-                )
-                results[i] = new_pal
-                idx_of_cluster[sel] = assign
+            with stage_timer("t23.refine"):
+                for i in range(b):
+                    sel = img_of_cluster == i
+                    if not sel.any():
+                        continue
+                    new_pal, assign = RF.refine_palette(
+                        cluster_colors[sel], w_cluster[sel], results[i],
+                        refine_iters,
+                    )
+                    results[i] = new_pal
+                    idx_of_cluster[sel] = assign
 
         # ---- the ONE pixel pass: paint palette indices ---------------------
         from roibasedimagecompression_tpu import native
