@@ -45,6 +45,63 @@ def _host_fingerprint() -> str:
     return hashlib.sha256("\n".join(feats).encode()).hexdigest()[:12]
 
 
+def _unpack_solid_pack(solid: str, target: str) -> None:
+    """Unpack warm_cache/pack.tar.zst into the compilation-cache dir.
+
+    The solid pack stores the RAW (zstd-decompressed) cache entries in one
+    tar compressed as a single zstd stream: the bench-path executables are
+    dozens of shape variants of the same few programs, so cross-entry
+    redundancy compresses ~an order of magnitude better solid than the
+    per-entry frames JAX writes (and each pack rebuild adds ONE git blob,
+    not 140).  On unpack each entry is re-compressed as its own zstd frame —
+    jax's decompress_executable is level-agnostic, any frame works.  A
+    marker file keyed on the pack's content identity skips re-unpacks.
+    """
+    import hashlib
+
+    try:
+        st = _os.stat(solid)
+        with open(solid, "rb") as fh:
+            head = fh.read(65536)
+    except OSError:
+        return
+    ident = hashlib.sha256(head + str(st.st_size).encode()).hexdigest()[:16]
+    marker = _os.path.join(target, f".pack_seeded-{ident}")
+    if _os.path.exists(marker):
+        return
+    try:
+        import zstandard
+    except ImportError:
+        return  # no zstd runtime: fall back to whatever per-entry files exist
+    import tarfile
+
+    try:
+        _os.makedirs(target, exist_ok=True)
+        cctx = zstandard.ZstdCompressor(level=3)
+        dctx = zstandard.ZstdDecompressor(max_window_size=1 << 28)
+        with open(solid, "rb") as fh, dctx.stream_reader(fh) as reader:
+            with tarfile.open(fileobj=reader, mode="r|") as tar:
+                for m in tar:
+                    if not m.isfile():
+                        continue
+                    name = m.name.lstrip("./")
+                    if name.startswith("/") or ".." in name.split("/"):
+                        continue  # never extract outside target
+                    dst = _os.path.join(target, name)
+                    if _os.path.exists(dst):
+                        continue  # never clobber newer local entries
+                    _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+                    data = cctx.compress(tar.extractfile(m).read())
+                    tmp = f"{dst}.tmp-{_os.getpid()}"
+                    with open(tmp, "wb") as out:
+                        out.write(data)
+                    _os.replace(tmp, dst)  # atomic vs concurrent seeders
+        with open(marker, "w"):
+            pass
+    except (OSError, tarfile.TarError, zstandard.ZstdError):
+        pass  # a partial seed is still a valid cache
+
+
 def _seed_from_warm_pack(target: str, pack: str | None = None) -> None:
     """Seed the compilation cache from the committed warm pack (warm_cache/).
 
@@ -55,19 +112,26 @@ def _seed_from_warm_pack(target: str, pack: str | None = None) -> None:
     regenerates the pack on the real chip): TPU entries are compiled remotely
     and host-independent; CPU entries are AOT code keyed by a host
     fingerprint (cpu-<hash>/ subdirs) so a different host never loads them
-    (cf. the cpu_aot_loader SIGILL hazard documented above).  Entries are
-    hardlinked when possible and never overwrite newer local ones.
+    (cf. the cpu_aot_loader SIGILL hazard documented above).  The pack is a
+    single solid archive (pack.tar.zst, see _unpack_solid_pack); loose
+    per-entry files beside it are hardlinked when possible.  Neither form
+    ever overwrites newer local entries.
     """
     if pack is None:
         repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
         pack = _os.path.join(repo, "warm_cache")
     if not _os.path.isdir(pack) or _os.environ.get("RHCCQ_WARM_PACK") == "0":
         return
+    solid = _os.path.join(pack, "pack.tar.zst")
+    if _os.path.isfile(solid):
+        _unpack_solid_pack(solid, target)
     import shutil
 
     def _sync(src_dir: str, dst_dir: str) -> None:
         _os.makedirs(dst_dir, exist_ok=True)
         for name in _os.listdir(src_dir):
+            if name == "pack.tar.zst":
+                continue  # the solid archive itself is not a cache entry
             src = _os.path.join(src_dir, name)
             dst = _os.path.join(dst_dir, name)
             if _os.path.isdir(src):

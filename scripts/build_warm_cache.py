@@ -9,12 +9,18 @@ exactly the bench-path executables:
   1. Runs bench.py (and optionally the multichip dryrun) with the cache
      pointed at a FRESH directory, so only graphs the bench actually
      compiles land in it.
-  2. Moves that directory to warm_cache/ at the repo root.
+  2. Packs the captured entries into warm_cache/pack.tar.zst — ONE solid
+     zstd stream over the RAW (decompressed) entries.  The bench path is
+     dozens of shape variants of the same few programs, so solid
+     compression beats the per-entry frames ~8x, and each rebuild adds one
+     git blob instead of ~140.  The package unpacks it into the cache dir
+     at import (roibasedimagecompression_tpu._unpack_solid_pack).
 
 The pack must be rebuilt whenever traced code changes (the cache key hashes
 the HLO): run this LAST, on the real chip, before a round ends.  Usage:
 
     python scripts/build_warm_cache.py [--skip-bench] [--dryrun-cpu]
+    python scripts/build_warm_cache.py --repack-only   # loose files -> solid
 """
 
 import argparse
@@ -35,14 +41,76 @@ def run(env_extra, argv, timeout):
         print(f"warning: exit {r.returncode} (partial cache kept)", flush=True)
 
 
+def write_solid_pack(src_dir, out_path):
+    """Tar the RAW (decompressed) cache entries and zstd them as one stream.
+
+    Members are ordered by (family, size) so near-identical shape variants
+    sit adjacent inside the compressor window; long-distance matching covers
+    the rest of the stream.
+    """
+    import io
+    import re
+    import tarfile
+
+    import zstandard
+
+    entries = []
+    for d, _, fs in os.walk(src_dir):
+        for f in fs:
+            p = os.path.join(d, f)
+            rel = os.path.relpath(p, src_dir)
+            fam = re.sub(r"-[0-9a-f]{16,}.*$", "", f)
+            entries.append((fam, os.path.getsize(p), rel, p))
+    entries.sort()
+    dctx = zstandard.ZstdDecompressor()
+    params = zstandard.ZstdCompressionParameters.from_level(
+        19, enable_ldm=True, window_log=27
+    )
+    cctx = zstandard.ZstdCompressor(compression_params=params)
+    raw_total = 0
+    with open(out_path, "wb") as fh:
+        with cctx.stream_writer(fh) as zs:
+            with tarfile.open(fileobj=zs, mode="w|") as tar:
+                for _, _, rel, p in entries:
+                    blob = open(p, "rb").read()
+                    try:
+                        raw = dctx.decompressobj().decompress(blob)
+                    except zstandard.ZstdError:
+                        raw = blob  # not a zstd frame (zlib-era entry): store
+                        # as-is; the unpacker re-wraps it in zstd, which jax
+                        # would fail to read — so skip instead.
+                        print(f"skip non-zstd entry {rel}", flush=True)
+                        continue
+                    raw_total += len(raw)
+                    info = tarfile.TarInfo(rel)
+                    info.size = len(raw)
+                    tar.addfile(info, io.BytesIO(raw))
+    print(f"solid pack: {len(entries)} entries, {raw_total / 1e6:.1f} MB raw "
+          f"-> {os.path.getsize(out_path) / 1e6:.1f} MB", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-bench", action="store_true",
                     help="only rebuild the CPU dryrun entries")
     ap.add_argument("--dryrun-cpu", action="store_true",
                     help="also capture the 8-device CPU-mesh dryrun entries")
+    ap.add_argument("--repack-only", action="store_true",
+                    help="convert existing loose warm_cache/ entries to the "
+                         "solid pack.tar.zst without re-running the bench")
     ap.add_argument("--out", default=os.path.join(REPO, "warm_cache"))
     args = ap.parse_args()
+
+    if args.repack_only:
+        solid = os.path.join(args.out, "pack.tar.zst")
+        write_solid_pack(args.out, solid + ".new")
+        os.replace(solid + ".new", solid)
+        for d, _, fs in os.walk(args.out):
+            for f in fs:
+                if f != "pack.tar.zst":
+                    os.unlink(os.path.join(d, f))
+        print(f"repacked {args.out} -> {solid}")
+        return
 
     fresh = tempfile.mkdtemp(prefix="rhccq_warm_", dir="/tmp")
     base = {"RHCCQ_JAX_CACHE": fresh, "RHCCQ_WARM_PACK": "0",
@@ -71,8 +139,10 @@ def main():
         return
     if os.path.isdir(args.out):
         shutil.rmtree(args.out)
-    shutil.move(fresh, args.out)
-    print(f"warm pack written to {args.out}")
+    os.makedirs(args.out)
+    write_solid_pack(fresh, os.path.join(args.out, "pack.tar.zst"))
+    shutil.rmtree(fresh)
+    print(f"warm pack written to {args.out}/pack.tar.zst")
 
 
 if __name__ == "__main__":

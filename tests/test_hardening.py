@@ -175,3 +175,51 @@ def test_warm_pack_seeding(tmp_path):
     finally:
         del os.environ["RHCCQ_WARM_PACK"]
     assert not (target / "jit_new-cache").exists()
+
+
+def test_warm_pack_solid_seeding(tmp_path):
+    """pack.tar.zst (solid archive of RAW entries) unpacks into the cache dir
+    as per-entry zstd frames jax can read, never clobbering local files, and
+    skips re-unpacks via the content marker (build_warm_cache.write_solid_pack
+    <-> roibasedimagecompression_tpu._unpack_solid_pack)."""
+    import io
+    import tarfile
+
+    import zstandard
+
+    import roibasedimagecompression_tpu as rtc
+
+    pack = tmp_path / "warm_cache"
+    pack.mkdir()
+    raws = {"jit_a-111-cache": b"raw-entry-a" * 50,
+            "cpu-abc/jit_b-222-cache": b"raw-entry-b" * 50,
+            "jit_c-333-cache": b"local-wins"}
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        for name, raw in raws.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(raw)
+            tar.addfile(info, io.BytesIO(raw))
+    (pack / "pack.tar.zst").write_bytes(
+        zstandard.ZstdCompressor(level=3).compress(buf.getvalue())
+    )
+    target = tmp_path / "cache"
+    target.mkdir()
+    (target / "jit_c-333-cache").write_bytes(b"local-newer")
+
+    rtc._seed_from_warm_pack(str(target), pack=str(pack))
+    dctx = zstandard.ZstdDecompressor()
+    for name in ("jit_a-111-cache", "cpu-abc/jit_b-222-cache"):
+        # Entries land as standalone zstd frames = what jax's
+        # decompress_executable expects, regardless of level.
+        assert dctx.decompressobj().decompress(
+            (target / name).read_bytes()) == raws[name]
+    assert (target / "jit_c-333-cache").read_bytes() == b"local-newer"
+    # The archive itself must not be copied in as a cache entry.
+    assert not (target / "pack.tar.zst").exists()
+    markers = [p for p in target.iterdir() if p.name.startswith(".pack_seeded-")]
+    assert len(markers) == 1
+    # Marker short-circuits the next seed: delete an entry, re-seed, still gone.
+    (target / "jit_a-111-cache").unlink()
+    rtc._seed_from_warm_pack(str(target), pack=str(pack))
+    assert not (target / "jit_a-111-cache").exists()
