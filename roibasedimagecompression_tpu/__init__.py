@@ -79,6 +79,17 @@ def _unpack_solid_pack(solid: str, target: str) -> None:
         _os.makedirs(target, exist_ok=True)
         cctx = zstandard.ZstdCompressor(level=3)
         dctx = zstandard.ZstdDecompressor(max_window_size=1 << 28)
+        # Sweep stale tmp files from seeders killed mid-write (they would
+        # otherwise accumulate forever and inflate jax's LRU scan).
+        try:
+            for name in _os.listdir(target):
+                if ".tmp-" in name:
+                    try:
+                        _os.unlink(_os.path.join(target, name))
+                    except OSError:
+                        pass
+        except OSError:
+            pass
         with open(solid, "rb") as fh, dctx.stream_reader(fh) as reader:
             with tarfile.open(fileobj=reader, mode="r|") as tar:
                 for m in tar:
@@ -87,15 +98,26 @@ def _unpack_solid_pack(solid: str, target: str) -> None:
                     name = m.name.lstrip("./")
                     if name.startswith("/") or ".." in name.split("/"):
                         continue  # never extract outside target
+                    base = name.rsplit("/", 1)[-1]
+                    if (base in ("pack.tar.zst", "pack.tar.zst.new")
+                            or base.startswith(".")):
+                        continue  # a polluted/hand-built pack is not a cache entry
                     dst = _os.path.join(target, name)
                     if _os.path.exists(dst):
                         continue  # never clobber newer local entries
                     _os.makedirs(_os.path.dirname(dst), exist_ok=True)
                     data = cctx.compress(tar.extractfile(m).read())
                     tmp = f"{dst}.tmp-{_os.getpid()}"
-                    with open(tmp, "wb") as out:
-                        out.write(data)
-                    _os.replace(tmp, dst)  # atomic vs concurrent seeders
+                    try:
+                        with open(tmp, "wb") as out:
+                            out.write(data)
+                        _os.replace(tmp, dst)  # atomic vs concurrent seeders
+                    except OSError:
+                        try:
+                            _os.unlink(tmp)
+                        except OSError:
+                            pass
+                        raise
         with open(marker, "w"):
             pass
     except (OSError, tarfile.TarError, zstandard.ZstdError):

@@ -57,6 +57,13 @@ def write_solid_pack(src_dir, out_path):
     entries = []
     for d, _, fs in os.walk(src_dir):
         for f in fs:
+            # Never embed the solid pack itself (it IS a valid zstd frame,
+            # so the non-zstd skip below would not catch it: a --repack-only
+            # over a dir already holding pack.tar.zst would decompress the
+            # whole old pack into the new one), nor in-progress/stale files.
+            if (f in ("pack.tar.zst", "pack.tar.zst.new")
+                    or ".tmp-" in f or f.startswith(".")):
+                continue
             p = os.path.join(d, f)
             rel = os.path.relpath(p, src_dir)
             fam = re.sub(r"-[0-9a-f]{16,}.*$", "", f)
@@ -109,6 +116,15 @@ def main():
             for f in fs:
                 if f != "pack.tar.zst":
                     os.unlink(os.path.join(d, f))
+        # Drop now-empty subdirs (e.g. cpu-<hash>/) so the seeder doesn't
+        # recreate them as empty dirs in every cache target.  Bottom-up, and
+        # rmdir itself decides emptiness (walk's listings are pre-unlink).
+        for d, _, _ in os.walk(args.out, topdown=False):
+            if d != args.out:
+                try:
+                    os.rmdir(d)
+                except OSError:
+                    pass  # not empty
         print(f"repacked {args.out} -> {solid}")
         return
 
@@ -137,12 +153,25 @@ def main():
     if n == 0:
         print("nothing captured; leaving existing pack untouched")
         return
-    if os.path.isdir(args.out):
-        shutil.rmtree(args.out)
-    os.makedirs(args.out)
-    write_solid_pack(fresh, os.path.join(args.out, "pack.tar.zst"))
+    # Compress BEFORE touching the existing pack: the level-19 solid pass
+    # takes minutes, and an interruption mid-way must not lose the previous
+    # good pack.  Write to .new beside the target, then swap atomically.
+    os.makedirs(args.out, exist_ok=True)
+    solid = os.path.join(args.out, "pack.tar.zst")
+    write_solid_pack(fresh, solid + ".new")
+    for d, _, fs in os.walk(args.out):
+        for f in fs:
+            if f not in ("pack.tar.zst.new",):
+                os.unlink(os.path.join(d, f))
+    for d, _, _ in os.walk(args.out, topdown=False):
+        if d != args.out:
+            try:
+                os.rmdir(d)
+            except OSError:
+                pass
+    os.replace(solid + ".new", solid)
     shutil.rmtree(fresh)
-    print(f"warm pack written to {args.out}/pack.tar.zst")
+    print(f"warm pack written to {solid}")
 
 
 if __name__ == "__main__":

@@ -223,3 +223,67 @@ def test_warm_pack_solid_seeding(tmp_path):
     (target / "jit_a-111-cache").unlink()
     rtc._seed_from_warm_pack(str(target), pack=str(pack))
     assert not (target / "jit_a-111-cache").exists()
+
+
+def test_warm_pack_hygiene(tmp_path):
+    """Repack never embeds the pack itself, the unpacker rejects a polluted
+    pack's pack.tar.zst member, and stale seeder tmp files are swept
+    (ADVICE round 4: repeated --repack-only must be idempotent)."""
+    import io
+    import sys
+    import tarfile
+
+    import zstandard
+
+    import roibasedimagecompression_tpu as rtc
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "scripts"))
+    try:
+        import build_warm_cache as bwc
+    finally:
+        sys.path.pop(0)
+
+    # A cache dir with one real (zstd-framed) entry + a pre-existing pack.
+    src = tmp_path / "warm_cache"
+    src.mkdir()
+    raw = b"entry-raw" * 100
+    (src / "jit_x-111-cache").write_bytes(
+        zstandard.ZstdCompressor(level=3).compress(raw)
+    )
+    (src / "pack.tar.zst").write_bytes(
+        zstandard.ZstdCompressor(level=3).compress(b"OLD-PACK" * 1000)
+    )
+    (src / "jit_y.tmp-123").write_bytes(b"stale tmp")
+
+    bwc.write_solid_pack(str(src), str(src / "pack.tar.zst.new"))
+    dctx = zstandard.ZstdDecompressor()
+    names = []
+    with open(src / "pack.tar.zst.new", "rb") as fh, dctx.stream_reader(fh) as r:
+        with tarfile.open(fileobj=r, mode="r|") as tar:
+            for m in tar:
+                names.append(m.name)
+                assert tar.extractfile(m).read() == raw
+    # Only the real entry — no old pack, no .new, no tmp.
+    assert names == ["jit_x-111-cache"]
+
+    # The unpacker must skip a polluted pack's embedded pack.tar.zst member
+    # and sweep stale tmp files in the target.
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        for name, data in (("pack.tar.zst", b"junk"), ("jit_z-1-cache", raw)):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    polluted = tmp_path / "polluted"
+    polluted.mkdir()
+    (polluted / "pack.tar.zst").write_bytes(
+        zstandard.ZstdCompressor(level=3).compress(buf.getvalue())
+    )
+    target = tmp_path / "cache"
+    target.mkdir()
+    (target / "jit_old.tmp-999").write_bytes(b"stale")
+    rtc._seed_from_warm_pack(str(target), pack=str(polluted))
+    assert not (target / "pack.tar.zst").exists()
+    assert not (target / "jit_old.tmp-999").exists()
+    assert dctx.decompressobj().decompress(
+        (target / "jit_z-1-cache").read_bytes()) == raw
