@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import functools
+import threading
 
 import numpy as np
 
@@ -40,15 +41,54 @@ def _roi_masks_batch(images: jax.Array, lows: jax.Array, highs: jax.Array, rc: c
     )
 
 
+# Shared container-packing pool: zlib releases the GIL, so one process-wide
+# pool serves every encode_many (per-call pools cost thread churn and, under
+# encode_stream, stacked 4x oversubscription on the single host core).
+_IO_POOL: concurrent.futures.ThreadPoolExecutor | None = None
+_IO_LOCK = threading.Lock()
+
+
+def _io_pool() -> concurrent.futures.ThreadPoolExecutor:
+    global _IO_POOL
+    with _IO_LOCK:
+        if _IO_POOL is None:
+            _IO_POOL = concurrent.futures.ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="rhccq-io"
+            )
+        return _IO_POOL
+
+
 def encode_many(
-    images: list, config: cfg.CodecConfig | None = None, mesh=None
+    images: list, config: cfg.CodecConfig | None = None, mesh=None,
+    _start_gate: threading.Event | None = None,
+    _frontend_done: threading.Event | None = None,
 ) -> list:
     """Encode a list of same-shape (h, w, 3) uint8 images -> list of bytes.
 
     With `mesh` (a jax.sharding.Mesh with a 'data' axis), the batched ROI
     frontend shards images across devices — the data-parallel deployment path.
+
+    _start_gate/_frontend_done stagger concurrent pipelines (encode_stream):
+    the batch waits on _start_gate before doing any work and sets
+    _frontend_done once its host-serial frontend (thresholds + ROI masks +
+    extraction) is finished — the point where it stops monopolizing the host
+    core and starts alternating device waits with host stages.
     """
     config = config or cfg.CodecConfig()
+    try:
+        if _start_gate is not None:
+            _start_gate.wait()
+        return _encode_many_inner(images, config, mesh, _frontend_done)
+    finally:
+        # Always unblock the successor, even on failure mid-frontend.
+        if _frontend_done is not None:
+            _frontend_done.set()
+
+
+def _encode_many_inner(
+    images: list, config: cfg.CodecConfig, mesh,
+    frontend_done: threading.Event | None,
+) -> list:
     if not images:
         return []
     shape = images[0].shape
@@ -160,6 +200,11 @@ def encode_many(
                     batch[k], roi_masks[k], nonroi_masks[k], config, min_size
                 )
             )
+    if frontend_done is not None:
+        # Host-serial prefix over: from here on this batch alternates device
+        # waits (GIL released) with host stages — let the next batch's
+        # frontend claim the core (encode_stream stagger).
+        frontend_done.set()
     with stage_timer("s.segment"):
         seg_results, dbatch = CODEC.build_segment_maps_many(
             [batch[k] for k in range(b)], regions_per_image, config,
@@ -249,10 +294,10 @@ def encode_many(
 
     results: list = [None] * b
     with stage_timer("s.container"):
-        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
-            futures = {pool.submit(finish, k): k for k in range(b)}
-            for fut in concurrent.futures.as_completed(futures):
-                results[futures[fut]] = fut.result()
+        pool = _io_pool()
+        futures = {pool.submit(finish, k): k for k in range(b)}
+        for fut in concurrent.futures.as_completed(futures):
+            results[futures[fut]] = fut.result()
     return results
 
 
@@ -301,10 +346,10 @@ def _finish_canvas_path(table, tall_seg, seg_group, batch, config, mesh):
 
     results: list = [None] * b
     with stage_timer("s.container"):
-        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
-            futures = {pool.submit(finish, k): k for k in range(b)}
-            for fut in concurrent.futures.as_completed(futures):
-                results[futures[fut]] = fut.result()
+        pool = _io_pool()
+        futures = {pool.submit(finish, k): k for k in range(b)}
+        for fut in concurrent.futures.as_completed(futures):
+            results[futures[fut]] = fut.result()
     return results
 
 
@@ -313,10 +358,15 @@ def encode_stream(
 ) -> list:
     """Encode a stream of same-shape batches with host/device overlap.
 
-    Two encode_many pipelines run on separate threads: while one blocks on a
-    device result (the wait releases the GIL), the other runs its host stages
-    (native ROI, pair packing, zlib) — on a single-core host this hides most
-    host wall-clock behind device compute.  Device dispatches from both
+    Several encode_many pipelines run on separate threads: while one blocks
+    on a device result (the wait releases the GIL), another runs its host
+    stages (native ROI, pair packing, zlib) — on a single-core host this
+    hides most host wall-clock behind device compute.  Starts are STAGGERED:
+    batch k begins only when batch k-1 finishes its host-serial frontend
+    (thresholds + ROI + extraction), so concurrent pipelines stay phase-
+    shifted instead of hitting the same device-wait points in lockstep (a
+    simultaneous start leaves the core idle at every shared sync point —
+    measured as the round-4 ~10% overlap).  Device dispatches from all
     threads serialize on the chip; each batch's bytes are identical to a
     sequential encode_many (asserted in tests).
 
@@ -325,5 +375,14 @@ def encode_stream(
     config = config or cfg.CodecConfig()
     if workers <= 1 or len(batches) <= 1:
         return [encode_many(b, config) for b in batches]
+    gates = [threading.Event() for _ in range(len(batches) + 1)]
+    gates[0].set()
+
+    def run(k: int) -> list:
+        return encode_many(
+            batches[k], config,
+            _start_gate=gates[k], _frontend_done=gates[k + 1],
+        )
+
     with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
-        return list(pool.map(lambda b: encode_many(b, config), batches))
+        return list(pool.map(run, range(len(batches))))
