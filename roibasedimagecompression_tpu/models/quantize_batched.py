@@ -590,6 +590,7 @@ def tier1_table(
         repaired_counts = None
         repair_remap = None
         inverse = None
+        colors = None
         if device_pairs is not None and native.available():
             # Device pair path: bit-identical table to native.pack_pairs
             # (same (seg, color) sort), table-only black repair; the pixel
@@ -601,9 +602,10 @@ def tier1_table(
             m, remap = native.black_repair_pairs(
                 uniq, counts, None, return_remap=True
             )
-            uniq, counts = uniq[:m], counts[:m]
-            seg_of_pair = (uniq >> 24).astype(np.int32)
-            color_of_pair = (uniq & 0xFFFFFF).astype(np.int32)
+            seg_of_pair, color_of_pair, colors = native.split_pair_uniq(
+                uniq[:m]
+            )
+            counts = counts[:m]
             repaired_counts = counts
             repair_remap = remap
             out = None
@@ -620,9 +622,10 @@ def tier1_table(
                 return None
             m = native.black_repair_pairs(uniq, counts, inverse)
             if m is not None:
-                uniq, counts = uniq[:m], counts[:m]
-                seg_of_pair = (uniq >> 24).astype(np.int32)
-                color_of_pair = (uniq & 0xFFFFFF).astype(np.int32)
+                counts = counts[:m]
+                seg_of_pair, color_of_pair, colors = native.split_pair_uniq(
+                    uniq[:m]
+                )
                 repaired_counts = counts
             else:
                 seg_of_pair = (uniq >> 24).astype(np.int32)
@@ -641,7 +644,8 @@ def tier1_table(
             (
                 seg_of_pair, color_of_pair, inverse, repair_remap,
             ) = _black_repair_pairs(seg_of_pair, color_of_pair, inverse)
-    colors = _unpack(color_of_pair).astype(np.float32)
+    if colors is None:
+        colors = _unpack(color_of_pair).astype(np.float32)
     n_pairs = len(seg_of_pair)
 
     # Pair table is sorted by (segment, color): contiguous runs per segment.

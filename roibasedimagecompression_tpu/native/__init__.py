@@ -183,6 +183,19 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
         ]
+        lib.unpack_pair_table_u32.restype = None
+        lib.unpack_pair_table_u32.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.unpack_pair_table_i32.restype = None
+        lib.unpack_pair_table_i32.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.split_pair_uniq.restype = None
+        lib.split_pair_uniq.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -440,6 +453,48 @@ def black_repair_pairs(uniq: np.ndarray, counts: np.ndarray,
     if return_remap:
         return m, remap
     return m
+
+
+def unpack_pair_table(table: np.ndarray):
+    """One-pass unpack of a device pair-table download into (uniq int64,
+    counts int64) — the pack_pairs key layout.  table is either the packed
+    (n, 2) uint32/int32 form (a = seg<<16 | count_lo16, b = count_hi8<<24 |
+    col24) or the wide (n, 3) int32 [seg, col, count] form.  Returns None
+    when the native library is unavailable (callers keep the NumPy chain).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(table)
+    uniq = np.empty(n, np.int64)
+    counts = np.empty(n, np.int64)
+    t = np.ascontiguousarray(table)
+    if t.shape[1] == 2:
+        lib.unpack_pair_table_u32(
+            t.ctypes.data, n, uniq.ctypes.data, counts.ctypes.data
+        )
+    else:
+        lib.unpack_pair_table_i32(
+            t.ctypes.data, n, uniq.ctypes.data, counts.ctypes.data
+        )
+    return uniq, counts
+
+
+def split_pair_uniq(uniq: np.ndarray):
+    """(seg int32, col int32, colors float32 (m, 3)) from sorted pair keys in
+    one native pass; None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    u = np.ascontiguousarray(uniq, dtype=np.int64)
+    m = len(u)
+    seg = np.empty(m, np.int32)
+    col = np.empty(m, np.int32)
+    colors = np.empty((m, 3), np.float32)
+    lib.split_pair_uniq(
+        u.ctypes.data, m, seg.ctypes.data, col.ctypes.data, colors.ctypes.data
+    )
+    return seg, col, colors
 
 
 def component_stats(labels: np.ndarray, num_labels: int):

@@ -1743,6 +1743,54 @@ void roi_pipeline(const uint8_t* rgb, int32_t h, int32_t w, const int32_t* ip,
   roi_pipeline_pre(rgb, h, w, ip, fp, nullptr, nullptr, roi_out, nonroi_out);
 }
 
+// ---------------------------------------------------------------------------
+// One-pass unpack of the device pair-table download (ops/pairs.py).  The
+// NumPy equivalent was ~6 full passes over the table (uint32 views, shifts,
+// masks, astype, or) on the single host core.
+// ---------------------------------------------------------------------------
+
+// packed (n, 2) uint32 rows: a = seg<<16 | count_lo16, b = count_hi8<<24 |
+// col24 (ops/pairs._pair_compact_packed).  Emits uniq = seg<<24 | col (the
+// pack_pairs key layout) and the pixel counts.
+void unpack_pair_table_u32(const uint32_t* packed, int64_t n, int64_t* uniq,
+                           int64_t* counts) {
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t a = packed[2 * i];
+    const uint32_t b = packed[2 * i + 1];
+    const int64_t seg = a >> 16;
+    const int64_t col = b & 0xFFFFFF;
+    uniq[i] = (seg << 24) | col;
+    counts[i] = static_cast<int64_t>(a & 0xFFFF) |
+                (static_cast<int64_t>(b >> 24) << 16);
+  }
+}
+
+// rows (n, 3) int32: [seg, col24, count] (ops/pairs._pair_compact).
+void unpack_pair_table_i32(const int32_t* rows, int64_t n, int64_t* uniq,
+                           int64_t* counts) {
+  for (int64_t i = 0; i < n; ++i) {
+    uniq[i] = (static_cast<int64_t>(rows[3 * i]) << 24) |
+              static_cast<int64_t>(rows[3 * i + 1]);
+    counts[i] = rows[3 * i + 2];
+  }
+}
+
+// Post-repair split of the sorted uniq keys into the tier-1 working arrays:
+// seg/col int32 plus the float32 RGB colors table (models/quantize_batched.
+// tier1_table ran three full-table NumPy passes for this).
+void split_pair_uniq(const int64_t* uniq, int64_t m, int32_t* seg,
+                     int32_t* col, float* colors) {
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t u = uniq[i];
+    const int32_t c = static_cast<int32_t>(u & 0xFFFFFF);
+    seg[i] = static_cast<int32_t>(u >> 24);
+    col[i] = c;
+    colors[3 * i] = static_cast<float>((c >> 16) & 0xFF);
+    colors[3 * i + 1] = static_cast<float>((c >> 8) & 0xFF);
+    colors[3 * i + 2] = static_cast<float>(c & 0xFF);
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

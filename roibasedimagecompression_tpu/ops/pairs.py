@@ -265,7 +265,14 @@ class DevicePairTable:
                 self._seg_s, self._col_s, new, self._pair_id, n_valid,
                 jnp.int32(self.n_pairs), cap=cap,
             )
-            packed = np.asarray(table[: self.n_pairs]).view(np.uint32)
+            packed = np.asarray(table[: self.n_pairs])
+            from roibasedimagecompression_tpu import native
+
+            out = native.unpack_pair_table(packed)
+            if out is not None:
+                self.uniq, self.counts = out
+                return
+            packed = packed.view(np.uint32)
             seg = (packed[:, 0] >> 16).astype(np.int64)
             col = (packed[:, 1] & 0xFFFFFF).astype(np.int64)
             self.counts = (

@@ -290,3 +290,38 @@ def test_select_thresholds_pair_matches_full(lenna128):
     low, high, _, _ = CANNY.select_thresholds(lenna128)
     low_p, high_p = CANNY.select_thresholds_pair(lenna128)
     assert (low_p, high_p) == (low, high)
+
+
+def test_unpack_pair_table_and_split():
+    """One-pass native unpack of the device pair-table download matches the
+    NumPy view/shift chain bit-for-bit (ops/pairs.DevicePairTable,
+    quantize_batched.tier1_table)."""
+    import numpy as np
+
+    from roibasedimagecompression_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    n = 4321
+    seg = np.sort(rng.integers(1, 500, n)).astype(np.int64)
+    col = rng.integers(0, 1 << 24, n).astype(np.int64)
+    cnt = rng.integers(1, 1 << 22, n).astype(np.int64)
+    a = (seg << 16) | (cnt & 0xFFFF)
+    b = ((cnt >> 16) << 24) | col
+    packed = np.stack([a, b], axis=1).astype(np.uint32).view(np.int32)
+    uniq, counts = native.unpack_pair_table(packed)
+    assert np.array_equal(uniq, (seg << 24) | col)
+    assert np.array_equal(counts, cnt)
+    rows = np.stack([seg, col, cnt], axis=1).astype(np.int32)
+    uniq2, counts2 = native.unpack_pair_table(rows)
+    assert np.array_equal(uniq2, (seg << 24) | col)
+    s, c, f = native.split_pair_uniq(uniq)
+    assert np.array_equal(s, seg.astype(np.int32))
+    assert np.array_equal(c, col.astype(np.int32))
+    exp = np.stack(
+        [(col >> 16) & 0xFF, (col >> 8) & 0xFF, col & 0xFF], axis=1
+    ).astype(np.float32)
+    assert np.array_equal(f, exp)
