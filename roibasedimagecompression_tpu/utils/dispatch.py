@@ -65,6 +65,12 @@ def _arg_key(a):
         return (a.shape, str(a.dtype))
     if isinstance(a, np.generic):
         return ("np", str(a.dtype))
+    if isinstance(a, (list, dict, set)) or callable(a):
+        # Containers/callables (e.g. warmup._fire's (fn, args, kwargs)
+        # triple) don't reduce to a shape signature — keying them by type
+        # name would alias DIFFERENT payloads to one "warm" key.  Mark the
+        # whole call unkeyable so it always takes the pool.
+        return None
     # Python scalars are weak-typed traced values (compiled per TYPE); only
     # static kwargs are value-keyed, and those pass through kwargs below.
     return ("lit", type(a).__name__)
@@ -77,9 +83,12 @@ def _kw_key(v):
 
 
 def _call_key(fn, args, kwargs):
+    arg_keys = tuple(_arg_key(a) for a in args)
+    if any(k is None for k in arg_keys):
+        return None  # unkeyable arg (container/callable): always use the pool
     key = (
         fn,
-        tuple(_arg_key(a) for a in args),
+        arg_keys,
         tuple(sorted((k, _kw_key(v)) for k, v in kwargs.items())),
     )
     try:
