@@ -160,20 +160,40 @@ def main():
     stream.encode_stream(bench_batches, cfg)
     log(f"warm-up encode_stream {len(bench_batches)}x{bsz}: {time.perf_counter() - t0:.1f}s")
 
-    # Measured run: best of two passes (host timing on this single-core VM
-    # is noisy — page-fault storms swing individual host stages by seconds).
-    # Worker sweep (scripts/sweep_stream.py, warm, round 4, workers <=
-    # n_batches so the knob is real): bsz=8 -> w1 0.728 / w2 0.805 /
-    # w3 0.795 / w4 0.940 MP/s; bsz=16 -> w1 0.768 / w2 0.934.
+    # Measured run: warm until CONVERGED — two consecutive passes within 10%
+    # — then report the best of the converged tail.  Round 4's best-of-4
+    # reported a moving target (51.3 -> 25.4 s, still warming executable
+    # loads through the tunnel at pass 4); a pass count can't be right for
+    # every driver environment, a convergence predicate can.  Worker sweep
+    # (scripts/sweep_stream.py, warm, round 4, workers <= n_batches so the
+    # knob is real): bsz=8 -> w1 0.728 / w2 0.805 / w3 0.795 / w4 0.940
+    # MP/s; bsz=16 -> w1 0.768 / w2 0.934.
     workers = int(os.environ.get("RHCCQ_STREAM_WORKERS", "4"))
-    dt = float("inf")
-    for attempt in range(4):  # best-of-4: single passes swing ~1.5x (host noise)
+    max_passes = int(os.environ.get("RHCCQ_BENCH_PASSES", "8"))
+    pass_times = []
+    converged = False
+    for attempt in range(max_passes):
         timing.reset_stages()
         t0 = time.perf_counter()
         blob_batches = stream.encode_stream(bench_batches, cfg, workers=workers)
         dt_i = time.perf_counter() - t0
+        pass_times.append(dt_i)
         log(f"measured pass {attempt}: {dt_i:.1f}s")
-        dt = min(dt, dt_i)
+        if (len(pass_times) >= 2
+                and abs(pass_times[-1] - pass_times[-2])
+                <= 0.10 * min(pass_times[-1], pass_times[-2])):
+            converged = True
+            break
+    if not converged:
+        log(f"WARNING: passes did not converge within {max_passes} "
+            f"(times: {[round(t, 1) for t in pass_times]}) — executable "
+            f"loads/compiles were likely still arriving; reporting the "
+            f"best pass anyway")
+        dt = min(pass_times)
+    else:
+        # Best of the converged tail (the two agreeing passes): steady
+        # state, robust to single-pass host noise.
+        dt = min(pass_times[-2:])
     blobs = [b for batch in blob_batches for b in batch]
 
     mp = sum(im.shape[0] * im.shape[1] for im in bench_imgs) / 1e6
@@ -215,6 +235,28 @@ def main():
         f"bpp={np.mean(bpps):.3f}, colors={np.mean(colors):.0f}"
     )
     log(f"single-image warm encode: {single:.1f}s")
+
+    # Throughput mode: container_level=7 (libdeflate probe, BASELINE.md —
+    # DEFLATE-10 costs 134-200 ms/MP vs ld-7's 38-45 ms/MP at ~+6.5% rate).
+    # Same graphs, same indices/palette, bit-identical decode — only the
+    # entropy-coder level changes, so PSNR is the measured ld-10 value by
+    # construction and only rate + wall move.
+    import dataclasses
+
+    cfg7 = dataclasses.replace(cfg, container_level=7)
+    dt7 = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        blob_batches7 = stream.encode_stream(bench_batches, cfg7, workers=workers)
+        dt7 = min(dt7, time.perf_counter() - t0)
+    blobs7 = [b for batch in blob_batches7 for b in batch]
+    bpp7 = sum(len(b) * 8.0 for b in blobs7) / (mp * 1e6)
+    mpps7 = mp / dt7
+    log(
+        f"throughput mode (container_level=7) x{len(bench_imgs)}: {dt7:.1f}s "
+        f"= {mpps7:.4f} MP/s; bpp={bpp7:.3f} (psnr identical to ld-10: "
+        f"same indices+palette, entropy level only)"
+    )
     log(
         f"single-image low-latency preset: {single_ll:.2f}s "
         f"(psnr={ll_q['psnr']:.2f}, "
@@ -238,6 +280,32 @@ def main():
     solo_mp = sum(im.shape[0] * im.shape[1] for im in bench_batches[0]) / 1e6
     log(f"solo batch x{len(bench_batches[0])}: {solo_dt:.1f}s "
         f"({solo_mp / solo_dt:.3f} MP/s)")
+
+    # Host vs device wall per MP (VERDICT r4 item 5): the solo stage profile
+    # split by parallel/scaling.py's host/device classification — the same
+    # split the multi-chip projection uses, now a driver-captured number.
+    # "device" here = device compute + tunnel transfer + launch latency (the
+    # stages that shard over chips); "host" = the single-core serial stages
+    # (thresholds law, native ROI chain, pair/means bookkeeping, DEFLATE).
+    from roibasedimagecompression_tpu.parallel import scaling as SCALING
+
+    host_s, device_s = SCALING.split_profile(
+        {k: v["seconds"] for k, v in solo_stages.items()}
+    )
+    host_ms_per_mp = host_s / solo_mp * 1000.0
+    device_ms_per_mp = device_s / solo_mp * 1000.0
+    # Overlap efficiency of the measured stream: 0 = serial batches (stream
+    # wall == n_batches * solo wall), 1 = perfect host/device overlap
+    # (stream wall == n_batches * max(host, device)).
+    n_batches = len(bench_batches)
+    serial_est = solo_dt * n_batches
+    ideal = max(host_s, device_s) * n_batches
+    overlap = (serial_est - dt) / max(serial_est - ideal, 1e-9)
+    log(
+        f"host wall {host_ms_per_mp:.0f} ms/MP, device+tunnel wall "
+        f"{device_ms_per_mp:.0f} ms/MP (solo batch); stream overlap "
+        f"efficiency {overlap:.2f} (0=serial, 1=max(host,device) floor)"
+    )
     try:
         if jax.default_backend() != "tpu":
             raise OSError  # CPU smoke runs must not overwrite the TPU profile
@@ -296,6 +364,12 @@ def main():
                 "decode_mpps": round(decode_mpps, 3),
                 "single_image_seconds": round(single, 2),
                 "single_image_low_latency_seconds": round(single_ll, 2),
+                "throughput_mode_mpps": round(mpps7, 5),
+                "throughput_mode_bpp": round(bpp7, 3),
+                "host_wall_ms_per_mp": round(host_ms_per_mp, 1),
+                "device_wall_ms_per_mp": round(device_ms_per_mp, 1),
+                "overlap_efficiency": round(overlap, 3),
+                "passes_converged": converged,
                 "mfu": round(mfu, 8),
                 "device_gflops_solo_batch": round(fl / 1e9, 3),
             }
