@@ -196,6 +196,15 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.runs_of_sorted_i64.restype = ctypes.c_int64
+        lib.runs_of_sorted_i64.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.flat_run_positions.restype = None
+        lib.flat_run_positions.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -663,6 +672,50 @@ def unique_inverse_i64(keys: np.ndarray, return_counts: bool = False):
     if return_counts:
         return uniq[:m].copy(), inverse, counts[:m].copy()
     return uniq[:m].copy(), inverse
+
+
+def runs_of_sorted_i64(sorted_arr: np.ndarray):
+    """(values, starts, sizes) of equal runs in an already-sorted int64 array
+    — one native pass instead of the diff/flatnonzero/diff/concat chain."""
+    flat = np.ascontiguousarray(sorted_arr, dtype=np.int64).reshape(-1)
+    if flat.size == 0:
+        return flat, np.zeros(0, np.int64), np.zeros(0, np.int64)
+    lib = get_lib()
+    if lib is None:
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(flat)) + 1])
+        sizes = np.diff(np.concatenate([starts, [flat.size]]))
+        return flat[starts], starts, sizes
+    starts = np.empty(flat.size, np.int64)
+    sizes = np.empty(flat.size, np.int64)
+    m = lib.runs_of_sorted_i64(
+        flat.ctypes.data, flat.size, starts.ctypes.data, sizes.ctypes.data,
+    )
+    starts = starts[:m].copy()
+    return flat[starts], starts, sizes[:m].copy()
+
+
+def flat_run_positions(starts: np.ndarray, sizes: np.ndarray):
+    """(pos, row, within) enumerating every element of m runs — one native
+    pass instead of three np.repeat passes plus an arange."""
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    total = int(sizes.sum())
+    lib = get_lib()
+    if lib is None or total == 0:
+        off = np.zeros(len(sizes), np.int64)
+        np.cumsum(sizes[:-1], out=off[1:])
+        row = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        within = np.arange(total, dtype=np.int64) - np.repeat(off, sizes)
+        pos = np.repeat(starts, sizes) + within
+        return pos, row, within
+    pos = np.empty(total, np.int64)
+    row = np.empty(total, np.int64)
+    within = np.empty(total, np.int64)
+    lib.flat_run_positions(
+        starts.ctypes.data, sizes.ctypes.data, len(sizes),
+        pos.ctypes.data, row.ctypes.data, within.ctypes.data,
+    )
+    return pos, row, within
 
 
 # ---------------------------------------------------------------------------

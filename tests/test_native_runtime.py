@@ -325,3 +325,30 @@ def test_unpack_pair_table_and_split():
         [(col >> 16) & 0xFF, (col >> 8) & 0xFF, col & 0xFF], axis=1
     ).astype(np.float32)
     assert np.array_equal(f, exp)
+
+
+def test_runs_of_sorted_and_flat_run_positions():
+    """Native one-pass run finder / enumerator matches the NumPy oracle
+    (models/quantize_batched._runs_of_sorted / _flat_run_positions)."""
+    import numpy as np
+
+    from roibasedimagecompression_tpu import native
+
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 2, 1000):
+        a = np.sort(rng.integers(0, 17, n)).astype(np.int64)
+        vals, starts, sizes = native.runs_of_sorted_i64(a)
+        if n == 0:
+            assert len(vals) == len(starts) == len(sizes) == 0
+        else:
+            ev, es, ec = np.unique(a, return_index=True, return_counts=True)
+            assert np.array_equal(vals, ev)
+            assert np.array_equal(starts, np.sort(es))
+            assert np.array_equal(sizes, ec)
+        pos, row, within = native.flat_run_positions(starts, sizes)
+        assert np.array_equal(pos, np.arange(n))
+        assert np.array_equal(row, np.repeat(np.arange(len(sizes)), sizes))
+        exp_within = np.concatenate(
+            [np.arange(s) for s in sizes] or [np.zeros(0, np.int64)]
+        )
+        assert np.array_equal(within, exp_within)
