@@ -414,8 +414,58 @@ static void box_count_i64(const uint8_t* m, int h, int w, int k,
   }
 }
 
+// Separable sliding-window box count: per-row horizontal window sums into a
+// reflect101-padded buffer, then an incremental vertical window over those
+// rows.  Two vectorizable linear passes — ~3x the integral-image form, which
+// paid a reflect101 index computation per padded element plus 4 scattered
+// loads per output.  Counts are exact integers either way.
+static void box_count_sliding(const uint8_t* m, int h, int w, int k,
+                              int32_t* out) {
+  const int p = k / 2;
+  // hs[r][c] = sum of row reflect101(r-p..) window [c-p, c+p] — horizontal
+  // pass on each SOURCE row once, then rows are reused via reflect101 row
+  // indices in the vertical pass.
+  std::vector<int32_t> hs(static_cast<size_t>(h) * w);
+  std::vector<uint8_t> pr(w + 2 * p);
+  for (int r = 0; r < h; ++r) {
+    const uint8_t* src = m + static_cast<int64_t>(r) * w;
+    for (int c = 0; c < p; ++c) pr[c] = src[reflect101(c - p, w)];
+    for (int c = 0; c < w; ++c) pr[p + c] = src[c] ? 1 : 0;
+    for (int c = 0; c < p; ++c) pr[p + w + c] = src[reflect101(w + c, w)];
+    int32_t s = 0;
+    for (int c = 0; c < k - 1; ++c) s += pr[c];
+    int32_t* o = hs.data() + static_cast<int64_t>(r) * w;
+    for (int c = 0; c < w; ++c) {
+      s += pr[c + k - 1];
+      o[c] = s;
+      s -= pr[c];
+    }
+  }
+  // Vertical incremental window (source rows [r-p, r-p+k-1], reflected).
+  std::vector<int32_t> acc(w, 0);
+  for (int dr = -p; dr <= -p + k - 2; ++dr) {
+    const int32_t* row = hs.data() + static_cast<int64_t>(reflect101(dr, h)) * w;
+    for (int c = 0; c < w; ++c) acc[c] += row[c];
+  }
+  for (int r = 0; r < h; ++r) {
+    const int32_t* add =
+        hs.data() + static_cast<int64_t>(reflect101(r - p + k - 1, h)) * w;
+    int32_t* o = out + static_cast<int64_t>(r) * w;
+    for (int c = 0; c < w; ++c) {
+      acc[c] += add[c];
+      o[c] = acc[c];
+    }
+    const int32_t* sub = hs.data() + static_cast<int64_t>(reflect101(r - p, h)) * w;
+    for (int c = 0; c < w; ++c) acc[c] -= sub[c];
+  }
+}
+
 void box_count(const uint8_t* m, int h, int w, int k, int32_t* out) {
   const int p = k / 2;
+  if (p < h && p < w && k <= 1000) {  // window count fits int32 trivially
+    box_count_sliding(m, h, w, k, out);
+    return;
+  }
   const int64_t padded = static_cast<int64_t>(h + 2 * p) * (w + 2 * p);
   if (padded < (int64_t{1} << 31))
     box_count_i32(m, h, w, k, out);
@@ -594,11 +644,12 @@ void dilate_se(const uint8_t* in, int h, int w,
   std::memset(out, 0, n);
   for (const auto& s : spans) {
     const int r0 = std::max(0, -s.dy), r1 = std::min(h, h - s.dy);
+    const int32_t hx = s.hx;
     for (int r = r0; r < r1; ++r) {
       const int32_t* src = dist.data() + static_cast<int64_t>(r + s.dy) * w;
       uint8_t* o = out + static_cast<int64_t>(r) * w;
-      for (int c = 0; c < w; ++c)
-        if (src[c] <= s.hx) o[c] = 1;
+      for (int c = 0; c < w; ++c)  // branchless |= vectorizes
+        o[c] = static_cast<uint8_t>(o[c] | (src[c] <= hx));
     }
   }
 }
@@ -617,11 +668,12 @@ void erode_se(const uint8_t* in, int h, int w,
   std::memset(out, 1, n);
   for (const auto& s : spans) {
     const int r0 = std::max(0, -s.dy), r1 = std::min(h, h - s.dy);
+    const int32_t hx = s.hx;
     for (int r = r0; r < r1; ++r) {
       const int32_t* src = dist.data() + static_cast<int64_t>(r + s.dy) * w;
       uint8_t* o = out + static_cast<int64_t>(r) * w;
-      for (int c = 0; c < w; ++c)
-        if (src[c] <= s.hx) o[c] = 0;
+      for (int c = 0; c < w; ++c)  // branchless &= vectorizes
+        o[c] = static_cast<uint8_t>(o[c] & (src[c] > hx));
     }
   }
 }
@@ -634,22 +686,37 @@ void close_se(std::vector<uint8_t>& m, int h, int w,
 }
 
 // scipy.ndimage.binary_dilation default cross structure, `iters` iterations.
+// k iterated cross dilations == L1 (cityblock) distance <= k, so one two-pass
+// chamfer replaces 2*iters full-image passes (exact, not an approximation).
 void dilate_cross(std::vector<uint8_t>& m, int h, int w, int iters) {
-  std::vector<uint8_t> tmp(m.size());
-  for (int it = 0; it < iters; ++it) {
-    for (int r = 0; r < h; ++r) {
-      for (int c = 0; c < w; ++c) {
-        const int64_t i = static_cast<int64_t>(r) * w + c;
-        uint8_t v = m[i];
-        if (!v && r > 0 && m[i - w]) v = 1;
-        if (!v && r + 1 < h && m[i + w]) v = 1;
-        if (!v && c > 0 && m[i - 1]) v = 1;
-        if (!v && c + 1 < w && m[i + 1]) v = 1;
-        tmp[i] = v;
-      }
+  if (iters <= 0) return;
+  const int64_t n = static_cast<int64_t>(h) * w;
+  const int32_t BIG = 1 << 29;
+  std::vector<int32_t> d(n);
+  for (int64_t i = 0; i < n; ++i) d[i] = m[i] ? 0 : BIG;
+  for (int r = 0; r < h; ++r) {
+    int32_t* row = d.data() + static_cast<int64_t>(r) * w;
+    const int32_t* up = r > 0 ? row - w : nullptr;
+    int32_t left = BIG;
+    for (int c = 0; c < w; ++c) {
+      int32_t v = row[c];
+      if (left + 1 < v) v = left + 1;
+      if (up && up[c] + 1 < v) v = up[c] + 1;
+      row[c] = left = v;
     }
-    m.swap(tmp);
   }
+  for (int r = h - 1; r >= 0; --r) {
+    int32_t* row = d.data() + static_cast<int64_t>(r) * w;
+    const int32_t* dn = r + 1 < h ? row + w : nullptr;
+    int32_t right = BIG;
+    for (int c = w - 1; c >= 0; --c) {
+      int32_t v = row[c];
+      if (right + 1 < v) v = right + 1;
+      if (dn && dn[c] + 1 < v) v = dn[c] + 1;
+      row[c] = right = v;
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) m[i] = d[i] <= iters;
 }
 
 // cv2.Canny-semantics gradient + NMS: per-pixel max-|grad| channel,
@@ -939,31 +1006,125 @@ void roi_pipeline_pre(const uint8_t* rgb, int32_t h, int32_t w,
   close_se(binary, h, w, ellipse_spans(close_distance * 2 + 1));
   _sc.lap("close11");
 
-  // 7 & 9. Gap bridging (shared helper).
+  // 7 & 9. Gap bridging (shared helper).  A pixel bridges when any opposite
+  // direction pair both hit a set pixel within reach_len.  Interior pixels
+  // (no reflect101 in any walk) get the answer from 8 directional
+  // nearest-set-distance scans, O(n) total instead of O(8*reach*n); the
+  // border band (within reach_len of an edge, where walks reflect) is
+  // re-evaluated with the exact original walk.
   auto bridge = [&](int max_gap) {
     box_count(binary.data(), h, w, bridge_regional, cnt.data());
     const float inv_bw = 1.0f / (bridge_regional * bridge_regional);
     const int reach_len = std::min(max_gap, bridge_local);
-    // (dx, dy) pairs in conv2d_same_multi order; offset = (row dy*d, col dx*d),
-    // REFLECT_101 sampling like the reference's filter2D.
     static const int dxs[8] = {-1, 1, 0, 0, -1, 1, -1, 1};
     static const int dys[8] = {0, 0, -1, 1, -1, 1, 1, -1};
+    auto exact_at = [&](int r, int c) -> uint8_t {
+      auto reach = [&](int k) {
+        for (int d = 1; d <= reach_len; ++d) {
+          const int rr = reflect101(r + dys[k] * d, h);
+          const int cc = reflect101(c + dxs[k] * d, w);
+          if (binary[static_cast<int64_t>(rr) * w + cc]) return true;
+        }
+        return false;
+      };
+      for (int p = 0; p < 4; ++p)
+        if (reach(2 * p) && reach(2 * p + 1)) return 1;
+      return 0;
+    };
     std::vector<uint8_t> out(binary);
+    const int32_t R = reach_len;
+    const int32_t BIG = 1 << 29;
+    if (2 * R + 2 >= h || 2 * R + 2 >= w) {
+      for (int r = 0; r < h; ++r)
+        for (int c = 0; c < w; ++c) {
+          const int64_t i = static_cast<int64_t>(r) * w + c;
+          if (!binary[i] && cnt[i] * inv_bw > bridge_dens_thr &&
+              exact_at(r, c))
+            out[i] = 1;
+        }
+      binary.swap(out);
+      return;
+    }
+    std::vector<uint8_t> ok(n, 0), up_map(n), ul_map(n), ur_map(n);
+    // Horizontal pair, fused per row (left scan + right scan).
+    {
+      std::vector<uint8_t> lok(w);
+      for (int r = 0; r < h; ++r) {
+        const uint8_t* b = binary.data() + static_cast<int64_t>(r) * w;
+        uint8_t* o = ok.data() + static_cast<int64_t>(r) * w;
+        int32_t d = BIG;  // nearest-set distance incl. self at c-1
+        for (int c = 0; c < w; ++c) {
+          lok[c] = d < R;  // d+1 <= R
+          d = b[c] ? 0 : (d < BIG ? d + 1 : BIG);
+        }
+        d = BIG;
+        for (int c = w - 1; c >= 0; --c) {
+          o[c] = static_cast<uint8_t>(lok[c] & (d < R));
+          d = b[c] ? 0 : (d < BIG ? d + 1 : BIG);
+        }
+      }
+    }
+    // Vertical pair + up-left/up-right maps (ascending rows), then
+    // down/down-right/down-left combine (descending rows).
+    {
+      std::vector<int32_t> du(w, BIG), dul(w, BIG), dur(w, BIG);
+      for (int r = 0; r < h; ++r) {
+        const uint8_t* b = binary.data() + static_cast<int64_t>(r) * w;
+        uint8_t* um = up_map.data() + static_cast<int64_t>(r) * w;
+        uint8_t* ulm = ul_map.data() + static_cast<int64_t>(r) * w;
+        uint8_t* urm = ur_map.data() + static_cast<int64_t>(r) * w;
+        for (int c = 0; c < w; ++c) {
+          um[c] = du[c] < R;
+          du[c] = b[c] ? 0 : (du[c] < BIG ? du[c] + 1 : BIG);
+        }
+        // UL uses prev-row dul[c-1]: descending c keeps old values readable.
+        for (int c = w - 1; c >= 0; --c) {
+          const int32_t x = c > 0 ? dul[c - 1] : BIG;
+          ulm[c] = x < R;
+          dul[c] = b[c] ? 0 : (x < BIG ? x + 1 : BIG);
+        }
+        // UR uses prev-row dur[c+1]: ascending c keeps old values readable.
+        for (int c = 0; c < w; ++c) {
+          const int32_t x = c + 1 < w ? dur[c + 1] : BIG;
+          urm[c] = x < R;
+          dur[c] = b[c] ? 0 : (x < BIG ? x + 1 : BIG);
+        }
+      }
+      std::vector<int32_t> dd(w, BIG), ddr(w, BIG), ddl(w, BIG);
+      for (int r = h - 1; r >= 0; --r) {
+        const uint8_t* b = binary.data() + static_cast<int64_t>(r) * w;
+        const uint8_t* um = up_map.data() + static_cast<int64_t>(r) * w;
+        const uint8_t* ulm = ul_map.data() + static_cast<int64_t>(r) * w;
+        const uint8_t* urm = ur_map.data() + static_cast<int64_t>(r) * w;
+        uint8_t* o = ok.data() + static_cast<int64_t>(r) * w;
+        for (int c = 0; c < w; ++c) {
+          o[c] = static_cast<uint8_t>(o[c] | (um[c] & (dd[c] < R)));
+          dd[c] = b[c] ? 0 : (dd[c] < BIG ? dd[c] + 1 : BIG);
+        }
+        // DR uses next-row ddr[c+1] (pairs with UL).
+        for (int c = 0; c < w; ++c) {
+          const int32_t x = c + 1 < w ? ddr[c + 1] : BIG;
+          o[c] = static_cast<uint8_t>(o[c] | (ulm[c] & (x < R)));
+          ddr[c] = b[c] ? 0 : (x < BIG ? x + 1 : BIG);
+        }
+        // DL uses next-row ddl[c-1] (pairs with UR).
+        for (int c = w - 1; c >= 0; --c) {
+          const int32_t x = c > 0 ? ddl[c - 1] : BIG;
+          o[c] = static_cast<uint8_t>(o[c] | (urm[c] & (x < R)));
+          ddl[c] = b[c] ? 0 : (x < BIG ? x + 1 : BIG);
+        }
+      }
+    }
     for (int r = 0; r < h; ++r) {
+      const bool rband = r < R || r >= h - R;
       for (int c = 0; c < w; ++c) {
         const int64_t i = static_cast<int64_t>(r) * w + c;
         if (binary[i]) continue;
         if (!(cnt[i] * inv_bw > bridge_dens_thr)) continue;
-        auto reach = [&](int k) {
-          for (int d = 1; d <= reach_len; ++d) {
-            const int rr = reflect101(r + dys[k] * d, h);
-            const int cc = reflect101(c + dxs[k] * d, w);
-            if (binary[static_cast<int64_t>(rr) * w + cc]) return true;
-          }
-          return false;
-        };
-        for (int p = 0; p < 4; ++p) {
-          if (reach(2 * p) && reach(2 * p + 1)) { out[i] = 1; break; }
+        if (rband || c < R || c >= w - R) {
+          if (exact_at(r, c)) out[i] = 1;
+        } else if (ok[i]) {
+          out[i] = 1;
         }
       }
     }
