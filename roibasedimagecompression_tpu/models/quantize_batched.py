@@ -174,11 +174,13 @@ def _eps_components_gather(colors_dev, starts, sizes, eps, *, cap, chunk):
     jax.jit, static_argnames=("cap", "k_max", "iters", "chunk", "plusplus")
 )
 def _kmeans_gather(
-    colors_dev, order_dev, starts, sizes, ks, *, cap, k_max, iters, seed, chunk,
+    colors_dev, order_dev, ssk, *, cap, k_max, iters, seed, chunk,
     plusplus,
 ):
     """Bucketed k-means over runs of the ORDER permutation (the per-level
-    argsort by cluster id): row points are colors[order[start+j]]."""
+    argsort by cluster id): row points are colors[order[start+j]].  ssk packs
+    (starts, sizes, ks) columns in one int32 upload."""
+    starts, sizes, ks = ssk[:, 0], ssk[:, 1], ssk[:, 2]
     pos = jnp.arange(cap)
 
     def one(s0, sz, k):
@@ -201,11 +203,12 @@ def _kmeans_gather(
     jax.jit, static_argnames=("cap", "k_max", "iters", "chunk", "plusplus")
 )
 def _kmeans_gather_w(
-    colors_dev, weights_dev, order_dev, starts, sizes, ks, *, cap, k_max,
+    colors_dev, weights_dev, order_dev, ssk, *, cap, k_max,
     iters, seed, chunk, plusplus,
 ):
     """_kmeans_gather with per-point pixel-count weights gathered from the
     device-resident weights table (weighted Lloyd: see ops.cluster.kmeans)."""
+    starts, sizes, ks = ssk[:, 0], ssk[:, 1], ssk[:, 2]
     pos = jnp.arange(cap)
 
     def one(s0, sz, k):
@@ -227,12 +230,13 @@ def _kmeans_gather_w(
     jax.jit, static_argnames=("cap", "k_max", "iters", "chunk")
 )
 def _kmeans_gather_init(
-    colors_dev, order_dev, starts, sizes, ks, inits, *, cap, k_max, iters,
+    colors_dev, order_dev, ssk, inits, *, cap, k_max, iters,
     chunk,
 ):
     """_kmeans_gather with explicit per-row init centers (b, k_max, 3) —
     skips the SEQUENTIAL k-means++ init (k_max serial distance passes per
     kernel) in favor of host-computed PCA-chunk means."""
+    starts, sizes, ks = ssk[:, 0], ssk[:, 1], ssk[:, 2]
     pos = jnp.arange(cap)
 
     def one(s0, sz, k, init):
@@ -1326,21 +1330,18 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
                         flush=True,
                     )
                 b = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
-                starts_b = np.zeros(b, np.int32)
-                starts_b[: len(ids)] = starts[ids]
-                sizes_b = np.zeros(b, np.int32)
-                sizes_b[: len(ids)] = sizes[ids]
-                ks_b = np.ones(b, np.int32)
-                ks_b[: len(ids)] = ks[rows]
+                ssk_b = np.zeros((b, 3), np.int32)
+                ssk_b[:, 2] = 1  # padded rows keep k=1
+                ssk_b[: len(ids), 0] = starts[ids]
+                ssk_b[: len(ids), 1] = sizes[ids]
+                ssk_b[: len(ids), 2] = ks[rows]
                 if inits is not None:
                     inits_b = np.zeros((b, k_max, 3), np.float32)
                     inits_b[: len(ids)] = inits[rows][:, :k_max]
                     result = DISPATCH.submit(
                         _kmeans_gather_init,
                         colors_dev, order_dev,
-                        SHARD.shard_rows(starts_b, mesh),
-                        SHARD.shard_rows(sizes_b, mesh),
-                        SHARD.shard_rows(ks_b, mesh),
+                        SHARD.shard_rows(ssk_b, mesh),
                         SHARD.shard_rows(inits_b, mesh),
                         cap=cap, k_max=int(k_max), iters=10,
                         chunk=min(2048, cap),
@@ -1351,9 +1352,7 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
                     result = DISPATCH.submit(
                         _kmeans_gather_w,
                         colors_dev, weights_dev, order_dev,
-                        SHARD.shard_rows(starts_b, mesh),
-                        SHARD.shard_rows(sizes_b, mesh),
-                        SHARD.shard_rows(ks_b, mesh),
+                        SHARD.shard_rows(ssk_b, mesh),
                         cap=cap, k_max=int(k_max), iters=10, seed=seed,
                         chunk=min(2048, cap), plusplus=k_max <= 256,
                     )
@@ -1362,9 +1361,7 @@ def _split_oversized_batched(colors, cluster_of_pair, pair_max_colors,
                 result = DISPATCH.submit(
                     _kmeans_gather,
                     colors_dev, order_dev,
-                    SHARD.shard_rows(starts_b, mesh),
-                    SHARD.shard_rows(sizes_b, mesh),
-                    SHARD.shard_rows(ks_b, mesh),
+                    SHARD.shard_rows(ssk_b, mesh),
                     cap=cap,
                     k_max=int(k_max),
                     # Oversized-split problems are small and near-separable

@@ -309,6 +309,18 @@ def _bucket(n: int, minimum: int = 8) -> int:
     return b
 
 
+@functools.partial(jax.jit, static_argnames=("k_max", "iters", "chunk", "plusplus"))
+def kmeans_packed(pv, k, *, k_max, iters=25, seed=42, chunk=2048, plusplus=True):
+    """kmeans over a single packed upload: pv = (n, d+1) float32 with the
+    validity flag in the last column (two small host->device transfers per
+    problem halved to one; each costs ~0.8 ms of dispatch on this host)."""
+    labels, _ = kmeans(
+        pv[:, :-1], pv[:, -1] > 0, k, k_max=k_max, iters=iters, seed=seed,
+        chunk=chunk, plusplus=plusplus,
+    )
+    return labels
+
+
 def kmeans_host(points: np.ndarray, k: int, *, seed: int = 42, iters: int = 25) -> np.ndarray:
     """Host wrapper: bucket-padded k-means labels for an (n, d) float array."""
     points = np.asarray(points, dtype=np.float32)
@@ -356,17 +368,16 @@ def kmeans_host_many(problems: list, *, seed: int = 42, iters: int = 25) -> list
         k = min(k, n)
         n_pad = _bucket(n)
         k_max = _bucket(k, minimum=2)
-        pts = np.zeros((n_pad, d), np.float32)
-        pts[:n] = points
-        valid = np.zeros(n_pad, bool)
-        valid[:n] = True
+        pv = np.zeros((n_pad, d + 1), np.float32)
+        pv[:n, :d] = points
+        pv[:n, d] = 1.0
         labels = DISPATCH.submit(
-            lambda pts, valid, k, k_max, n_pad: kmeans(
-                jnp.asarray(pts), jnp.asarray(valid), k, k_max=k_max,
+            lambda pv, k, k_max, n_pad: kmeans_packed(
+                jnp.asarray(pv), k, k_max=k_max,
                 iters=iters, seed=seed, chunk=min(2048, n_pad),
                 plusplus=k_max <= 256,
-            )[0],
-            pts, valid, k, k_max, n_pad,
+            ),
+            pv, k, k_max, n_pad,
         )
         pending.append((n, labels))
     collected = SHARD.collect_all(

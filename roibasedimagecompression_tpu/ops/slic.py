@@ -219,20 +219,41 @@ def _slic_core(
     return jnp.where(mask.reshape(-1), out, -1).reshape(h, w).astype(jnp.uint8)
 
 
+def _unpack_slic_meta(meta, k, lead):
+    """Split the single packed int32 upload back into (lead cols, centers_yx,
+    center_valid, step).  Layout: [lead | cyx flat 2k | cval k | step bits].
+    One host->device transfer replaces four per bucket call (each small
+    upload pays ~0.8 ms of dispatch overhead on the single-core host)."""
+    rows = meta[:, :lead]
+    cyx = meta[:, lead : lead + 2 * k].reshape(meta.shape[0], k, 2)
+    cval = meta[:, lead + 2 * k : lead + 3 * k] != 0
+    step = jax.lax.bitcast_convert_type(meta[:, lead + 3 * k], jnp.float32)
+    return rows, cyx, cval, step
+
+
+def _pack_slic_meta(bsz, k, lead):
+    """Host-side buffer for _unpack_slic_meta's layout."""
+    return np.zeros((bsz, lead + 3 * k + 1), np.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ph", "pw", "n_centers", "iters", "compactness", "sigma", "chunk"),
 )
 def _slic_core_batch_gather(
-    img_pad, reg_a, reg_b, rows, centers_yx, center_valid, step,
+    img_pad, reg_a, reg_b, meta,
     *, ph, pw, n_centers, iters, compactness, sigma, chunk,
 ):
     """Bucketed SLIC with in-graph crop gathering from the device-resident
-    padded batch (models/segment.DeviceBatch).  rows: (bsz, 7) int32
-    [img, top, left, h0, w0, rid, kind]; layout matches the host packing
-    (region pixels at the window origin, zeros beyond the bbox)."""
+    padded batch (models/segment.DeviceBatch).  meta packs rows (bsz, 7)
+    int32 [img, top, left, h0, w0, rid, kind] + centers + valid + step in a
+    single upload; layout matches the host packing (region pixels at the
+    window origin, zeros beyond the bbox)."""
     ri = jnp.arange(ph)[:, None]
     ci = jnp.arange(pw)[None, :]
+    rows, centers_yx, center_valid, step = _unpack_slic_meta(
+        meta, n_centers, 7
+    )
 
     def one(r, cyx, cv, st):
         crop = jax.lax.dynamic_slice(
@@ -256,9 +277,10 @@ def _slic_core_batch_gather(
     jax.jit, static_argnames=("n_centers", "iters", "compactness", "sigma", "chunk")
 )
 def _slic_core_batch(
-    rgb_u8, mask, centers_yx, center_valid, step,
+    rgb_u8, mask, meta,
     *, n_centers, iters, compactness, sigma, chunk,
 ):
+    _, centers_yx, center_valid, step = _unpack_slic_meta(meta, n_centers, 0)
     return jax.vmap(
         lambda im, mk, cyx, cv, st: _slic_core(
             im, mk, cyx, cv, st,
@@ -455,13 +477,14 @@ def slic_many(
     with stage_timer("slic.core"):
         for (ph, pw, k_cap, tflag), ids in buckets.items():
             bsz = SHARD.pad_rows(_pad_batch(len(ids)), mesh)
-            masks_b = np.zeros((bsz, ph, pw), bool)
-            cyx_b = np.zeros((bsz, k_cap, 2), np.int32)
-            cval_b = np.zeros((bsz, k_cap), bool)
-            steps_b = np.ones(bsz, np.float32)
             gather = tflag is not None
+            lead = 7 if gather else 0
+            masks_b = np.zeros((bsz, ph, pw), bool)
+            meta_b = _pack_slic_meta(bsz, k_cap, lead)
+            # Padding rows keep step bits = 1.0f (a 0 step would divide by
+            # zero inside the padded lanes' Lloyd updates).
+            meta_b[:, lead + 3 * k_cap] = np.float32(1.0).view(np.int32)
             imgs_b = None if gather else np.zeros((bsz, ph, pw, 3), np.uint8)
-            rows_b = np.zeros((bsz, 7), np.int32) if gather else None
             for row, i in enumerate(ids):
                 mask, img, centers_yx, step, _, transposed, src = metas[i]
                 h0, w0 = mask.shape
@@ -470,13 +493,13 @@ def slic_many(
                     k0, top, left, sh, sw, rid, kind = src
                     if transposed:
                         top, left, sh, sw = left, top, sw, sh
-                    rows_b[row] = (k0, top, left, sh, sw, rid, kind)
+                    meta_b[row, :7] = (k0, top, left, sh, sw, rid, kind)
                 else:
                     imgs_b[row, :h0, :w0] = img
                 k = len(centers_yx)
-                cyx_b[row, :k] = centers_yx
-                cval_b[row, :k] = True
-                steps_b[row] = step
+                meta_b[row, lead : lead + 2 * k] = centers_yx.reshape(-1)
+                meta_b[row, lead + 2 * k_cap : lead + 2 * k_cap + k] = 1
+                meta_b[row, lead + 3 * k_cap] = np.float32(step).view(np.int32)
 
             common = dict(
                 n_centers=k_cap,
@@ -493,10 +516,7 @@ def slic_many(
                 result = DISPATCH.submit(
                     _slic_core_batch_gather,
                     src_img, src_a, src_b,
-                    SHARD.shard_rows(rows_b, mesh),
-                    SHARD.shard_rows(cyx_b, mesh),
-                    SHARD.shard_rows(cval_b, mesh),
-                    SHARD.shard_rows(steps_b, mesh),
+                    SHARD.shard_rows(meta_b, mesh),
                     ph=ph, pw=pw, **common,
                 )
             else:
@@ -504,9 +524,7 @@ def slic_many(
                     _slic_core_batch,
                     SHARD.shard_rows(imgs_b, mesh),
                     SHARD.shard_rows(masks_b, mesh),
-                    SHARD.shard_rows(cyx_b, mesh),
-                    SHARD.shard_rows(cval_b, mesh),
-                    SHARD.shard_rows(steps_b, mesh),
+                    SHARD.shard_rows(meta_b, mesh),
                     **common,
                 )
             pending.append((ids, masks_b, result))

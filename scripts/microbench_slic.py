@@ -38,8 +38,11 @@ def run(tag, bsz, ph, pw, k, chunk, iters=10, n=3):
     cval[:, :kk] = True
     steps = np.full(bsz, 75.0, np.float32)
 
-    args = (jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(cyx),
-            jnp.asarray(cval), jnp.asarray(steps))
+    meta = SLIC._pack_slic_meta(bsz, k, 0)
+    meta[:, : 2 * k] = cyx.reshape(bsz, -1)
+    meta[:, 2 * k : 3 * k] = cval
+    meta[:, 3 * k] = steps.view(np.int32)
+    args = (jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(meta))
     kw = dict(n_centers=k, iters=iters, compactness=10.0, sigma=1.0, chunk=chunk)
     out = jax.block_until_ready(SLIC._slic_core_batch(*args, **kw))
     t0 = time.perf_counter()
