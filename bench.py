@@ -213,20 +213,27 @@ def main():
         bpps.append(len(data) * 8.0 / (im.shape[0] * im.shape[1]))
         colors.append(container.unpack(data).n_colors)
 
-    # Single-image warm latency for reference.
-    t0 = time.perf_counter()
-    codec.encode(bench_imgs[0], cfg)
-    single = time.perf_counter() - t0
+    # Single-image warm latency for reference: best of 3 (single samples
+    # still carry executable-load stragglers through the tunnel — round 4
+    # recorded an inverted low-latency preset purely from a half-cold
+    # one-shot sample).
+    single = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        codec.encode(bench_imgs[0], cfg)
+        single = min(single, time.perf_counter() - t0)
 
     # Interactive preset latency (fast_edges + wide-margin split + ld-7):
-    # one compile-and-discard pass, then the warm measurement.
+    # one compile-and-discard pass, then best-of-3 warm.
     ll_cfg = CodecConfig.low_latency(
         roi_quality=cfg.roi_quality, nonroi_quality=cfg.nonroi_quality
     )
     codec.encode(bench_imgs[0], ll_cfg)
-    t0 = time.perf_counter()
-    ll_blob = codec.encode(bench_imgs[0], ll_cfg)
-    single_ll = time.perf_counter() - t0
+    single_ll = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ll_blob = codec.encode(bench_imgs[0], ll_cfg)
+        single_ll = min(single_ll, time.perf_counter() - t0)
     ll_q = M.quality_metrics(bench_imgs[0], codec.decode(ll_blob))
 
     log(

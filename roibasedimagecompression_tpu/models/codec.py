@@ -604,7 +604,16 @@ def encode_batched(image_rgb: np.ndarray, config: cfg.CodecConfig) -> bytes:
             from roibasedimagecompression_tpu.models import roi_fused as ROI
             from roibasedimagecompression_tpu.ops import canny as CANNY
 
-            low, high = CANNY.select_thresholds_pair(image_rgb)
+            if config.fast_edges:
+                # Same reduced-candidate law as the batched frontend
+                # (stream.py) — the preset knob was silently ignored here,
+                # which broke single==batched parity for fast-edges configs.
+                lows, highs = CANNY.fast_thresholds_many(
+                    image_rgb[None]
+                )
+                low, high = float(lows[0]), float(highs[0])
+            else:
+                low, high = CANNY.select_thresholds_pair(image_rgb)
             roi_mask, nonroi_mask = ROI.roi_masks_fast(image_rgb, config, low, high)
             roi_regions, nonroi_regions = _extract_and_assign(
                 image_rgb, roi_mask, nonroi_mask, config, min_size

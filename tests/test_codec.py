@@ -405,3 +405,13 @@ def test_encode_stream_matches_sequential(lenna128):
     got = stream.encode_stream(batches, cfg_, workers=2)
     want = [stream.encode_many(batch, cfg_) for batch in batches]
     assert got == want
+
+
+def test_low_latency_single_matches_batched(lenna128):
+    """fast_edges configs must give single==batched byte identity too — the
+    single-image frontend silently ignored the flag before round 5."""
+    from roibasedimagecompression_tpu.parallel import stream
+
+    ll = rtc.CodecConfig.low_latency()
+    im = lenna128[:96, :96]
+    assert stream.encode_many([im], ll) == [rtc.encode(im, ll)]
