@@ -146,6 +146,7 @@ def main():
     # below joins the in-flight compiles.
     from roibasedimagecompression_tpu.utils import warmup
 
+    warmup.check_pack_freshness(log)
     t0 = time.perf_counter()
     futs = warmup.prewarm(warmup.default_manifest_path())
     log(f"prewarm: {len(futs)} manifest graphs dispatched "

@@ -153,3 +153,53 @@ def default_manifest_path() -> str:
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "warm_manifest.json",
     )
+
+
+def source_fingerprint() -> str:
+    """sha256 over every package .py source plus bench.py — the traced-code
+    surface whose changes invalidate the warm pack (the jax cache key hashes
+    the HLO, so ANY traced-code edit strands the committed executables).
+    Deterministic: files are hashed in sorted relative order."""
+    import hashlib
+
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(pkg)
+    files = []
+    for d, _, fs in os.walk(pkg):
+        for f in fs:
+            if f.endswith((".py", ".cpp")):
+                files.append(os.path.join(d, f))
+    bench = os.path.join(repo, "bench.py")
+    if os.path.exists(bench):
+        files.append(bench)
+    h = hashlib.sha256()
+    for p in sorted(files):
+        h.update(os.path.relpath(p, repo).encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
+def check_pack_freshness(log=print) -> bool:
+    """Compare the committed warm pack's recorded source fingerprint with
+    HEAD's.  Returns True when fresh; logs LOUDLY when stale or unstamped —
+    a stale pack silently costs ~90 s of dead executable loads per cold
+    start (VERDICT r4), so the mismatch must be visible in the bench run."""
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    meta_path = os.path.join(
+        os.path.dirname(pkg), "warm_cache", "PACK_META.json"
+    )
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        log("WARNING: warm pack has no PACK_META.json — rebuild with "
+            "scripts/build_warm_cache.py to stamp + refresh it")
+        return False
+    cur = source_fingerprint()
+    if meta.get("source_fingerprint") != cur:
+        log(f"WARNING: warm pack is STALE (built for source "
+            f"{meta.get('source_fingerprint')}, HEAD is {cur}) — graphs will "
+            f"recompile; run scripts/build_warm_cache.py before benching")
+        return False
+    return True

@@ -61,7 +61,7 @@ def write_solid_pack(src_dir, out_path):
             # so the non-zstd skip below would not catch it: a --repack-only
             # over a dir already holding pack.tar.zst would decompress the
             # whole old pack into the new one), nor in-progress/stale files.
-            if (f in ("pack.tar.zst", "pack.tar.zst.new")
+            if (f in ("pack.tar.zst", "pack.tar.zst.new", "PACK_META.json")
                     or ".tmp-" in f or f.startswith(".")):
                 continue
             p = os.path.join(d, f)
@@ -114,7 +114,7 @@ def main():
         os.replace(solid + ".new", solid)
         for d, _, fs in os.walk(args.out):
             for f in fs:
-                if f != "pack.tar.zst":
+                if f not in ("pack.tar.zst", "PACK_META.json"):
                     os.unlink(os.path.join(d, f))
         # Drop now-empty subdirs (e.g. cpu-<hash>/) so the seeder doesn't
         # recreate them as empty dirs in every cache target.  Bottom-up, and
@@ -171,7 +171,32 @@ def main():
                 pass
     os.replace(solid + ".new", solid)
     shutil.rmtree(fresh)
+    _stamp_meta(args.out)
     print(f"warm pack written to {solid}")
+
+
+def _stamp_meta(out_dir):
+    """Record the source fingerprint the pack was built from, so bench.py
+    can warn loudly when the pack has gone stale (utils/warmup.
+    check_pack_freshness)."""
+    import json
+
+    sys.path.insert(0, REPO)
+    from roibasedimagecompression_tpu.utils import warmup
+
+    head = ""
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True,
+            text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        pass
+    with open(os.path.join(out_dir, "PACK_META.json"), "w") as fh:
+        json.dump(
+            {"source_fingerprint": warmup.source_fingerprint(),
+             "git_head": head}, fh, indent=1,
+        )
 
 
 if __name__ == "__main__":

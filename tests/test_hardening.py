@@ -287,3 +287,43 @@ def test_warm_pack_hygiene(tmp_path):
     assert not (target / "jit_old.tmp-999").exists()
     assert dctx.decompressobj().decompress(
         (target / "jit_z-1-cache").read_bytes()) == raw
+
+
+def test_pack_freshness_check(tmp_path, monkeypatch):
+    """Stale/unstamped warm packs must warn loudly, fresh ones stay silent
+    (VERDICT r4: a silently stale pack costs ~90 s of dead loads)."""
+    import json
+    import os
+
+    from roibasedimagecompression_tpu.utils import warmup
+
+    msgs = []
+    # No meta file in the real repo -> warns (or passes if a stamped pack
+    # exists); force both branches via a fake repo layout.
+    fp = warmup.source_fingerprint()
+    assert len(fp) == 16
+    # fingerprint is deterministic
+    assert warmup.source_fingerprint() == fp
+
+    meta_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(warmup.__file__))),
+    )
+    repo = os.path.dirname(meta_dir)
+    meta_path = os.path.join(repo, "warm_cache", "PACK_META.json")
+    existed = os.path.exists(meta_path)
+    if not existed:
+        os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+        try:
+            with open(meta_path, "w") as fh:
+                json.dump({"source_fingerprint": fp}, fh)
+            assert warmup.check_pack_freshness(msgs.append) is True
+            assert not msgs
+            with open(meta_path, "w") as fh:
+                json.dump({"source_fingerprint": "deadbeef"}, fh)
+            assert warmup.check_pack_freshness(msgs.append) is False
+            assert any("STALE" in m for m in msgs)
+        finally:
+            os.unlink(meta_path)
+    else:
+        # A stamped pack in the working tree: just exercise the call.
+        warmup.check_pack_freshness(msgs.append)
