@@ -354,7 +354,8 @@ def _finish_canvas_path(table, tall_seg, seg_group, batch, config, mesh):
 
 
 def encode_stream(
-    batches: list, config: cfg.CodecConfig | None = None, workers: int = 2
+    batches: list, config: cfg.CodecConfig | None = None, workers: int = 2,
+    mesh=None,
 ) -> list:
     """Encode a stream of same-shape batches with host/device overlap.
 
@@ -374,13 +375,13 @@ def encode_stream(
     """
     config = config or cfg.CodecConfig()
     if workers <= 1 or len(batches) <= 1:
-        return [encode_many(b, config) for b in batches]
+        return [encode_many(b, config, mesh=mesh) for b in batches]
     gates = [threading.Event() for _ in range(len(batches) + 1)]
     gates[0].set()
 
     def run(k: int) -> list:
         return encode_many(
-            batches[k], config,
+            batches[k], config, mesh=mesh,
             _start_gate=gates[k], _frontend_done=gates[k + 1],
         )
 
