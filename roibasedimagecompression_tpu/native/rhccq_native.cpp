@@ -724,8 +724,10 @@ void dilate_cross(std::vector<uint8_t>& m, int h, int w, int iters) {
 void gradient_nms(const uint8_t* img, int h, int w, int channels, int32_t* mag,
                   uint8_t* nms) {
   const int64_t n = static_cast<int64_t>(h) * w;
-  std::vector<int32_t> bgx(n), bgy(n);
-  std::vector<int32_t> bmag(n, -1);
+  // int16 planes: |g| <= 4*255 and L1 mag <= 2040 fit comfortably, and the
+  // three full-image intermediates are pure memory bandwidth on this host.
+  std::vector<int16_t> bgx(n), bgy(n);
+  std::vector<int16_t> bmag(n, -1);
   // Planar + separable Sobel: deinterleave each channel, then per row
   // gx = colsum[c+1]-colsum[c-1], gy = rowdiff[c-1]+2*rowdiff[c]+rowdiff[c+1]
   // with colsum = [1,2,1]^T and rowdiff = lower-upper (replicated borders) —
@@ -768,14 +770,14 @@ void gradient_nms(const uint8_t* img, int h, int w, int channels, int32_t* mag,
         const int32_t m = std::abs(gx) + std::abs(gy);
         const int64_t i = row + c;
         if (m > bmag[i]) {  // strict: ties keep the lower channel (argmax)
-          bmag[i] = m;
-          bgx[i] = gx;
-          bgy[i] = gy;
+          bmag[i] = static_cast<int16_t>(m);
+          bgx[i] = static_cast<int16_t>(gx);
+          bgy[i] = static_cast<int16_t>(gy);
         }
       }
     }
   }
-  std::memcpy(mag, bmag.data(), n * sizeof(int32_t));
+  for (int64_t i = 0; i < n; ++i) mag[i] = bmag[i];
   auto mag_at = [&](int r, int c) -> int32_t {
     if (r < 0 || r >= h || c < 0 || c >= w) return 0;  // pad fill 0
     return bmag[static_cast<int64_t>(r) * w + c];
@@ -797,7 +799,7 @@ void gradient_nms(const uint8_t* img, int h, int w, int channels, int32_t* mag,
       if (!row_border && c > 0 && c < w - 1) {
         // Interior: direct offsets, no bounds checks (identical values —
         // mag_at only differs by returning 0 outside the image).
-        const int32_t* mrow = bmag.data() + i;
+        const int16_t* mrow = bmag.data() + i;
         if (horizontal)
           pass = keep(mrow[-1], mrow[1]);
         else if (vertical)

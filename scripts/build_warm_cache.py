@@ -135,8 +135,13 @@ def main():
     if not args.skip_bench:
         # The bench covers the full default encode/decode surface plus the
         # low-latency preset — on the default (TPU) backend its entries are
-        # remote-compiled and host-independent.
-        run(base, [sys.executable, os.path.join(REPO, "bench.py")], 7200)
+        # remote-compiled and host-independent.  RHCCQ_RECORD_MANIFEST
+        # refreshes warm_manifest.json in the same run, so the pack and the
+        # prewarm manifest can never drift apart (manifest entry order =
+        # bench call order = single-image graphs first, which prioritizes
+        # the first encode's executables in the prewarm wave).
+        run({**base, "RHCCQ_RECORD_MANIFEST": "1"},
+            [sys.executable, os.path.join(REPO, "bench.py")], 7200)
 
     if args.dryrun_cpu:
         # CPU AOT entries embed host ISA features; they live under a
