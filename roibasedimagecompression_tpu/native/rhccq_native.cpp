@@ -1478,6 +1478,19 @@ int32_t score_candidates(const uint8_t* gray, const int32_t* mag,
   std::vector<double> scores(n_cands, -1.0);
   std::vector<uint8_t> valid(n_cands, 0);
 
+  // Identical (low, high) pairs (the sensitivity table frequently clips
+  // several methods onto the same pair) score identically: compute each
+  // unique pair once and copy to duplicates — the strict-> argmax keeps the
+  // first index either way, so the selected candidate is unchanged.
+  std::vector<int32_t> dup_of(n_cands, -1);
+  for (int32_t a = 0; a < n_cands; ++a)
+    for (int32_t b = 0; b < a; ++b)
+      if (cands[2 * a] == cands[2 * b] &&
+          cands[2 * a + 1] == cands[2 * b + 1]) {
+        dup_of[a] = b;
+        break;
+      }
+
   int64_t next_pix = 0;
   int32_t ci = 0;
   while (ci < n_cands) {
@@ -1520,6 +1533,7 @@ int32_t score_candidates(const uint8_t* gray, const int32_t* mag,
     // Score every candidate sharing this low.
     while (ci < n_cands && cands[2 * cand_order[ci]] == low) {
       const int32_t k = cand_order[ci++];
+      if (dup_of[k] >= 0) continue;  // scored via its first occurrence
       const float high = cands[2 * k + 1];
       int64_t n_comp = 0, n_edge = 0;
       double s = 0.0, s2 = 0.0;
@@ -1539,6 +1553,11 @@ int32_t score_candidates(const uint8_t* gray, const int32_t* mag,
       valid[k] = 1;
     }
   }
+  for (int32_t k = 0; k < n_cands; ++k)
+    if (dup_of[k] >= 0) {
+      scores[k] = scores[dup_of[k]];
+      valid[k] = valid[dup_of[k]];
+    }
   int32_t best = 0;
   double best_score = -1.0;
   bool any = false;
