@@ -117,12 +117,11 @@ def main():
 
     cfg = CodecConfig()
 
-    # Eight batches of 8: the 16 landscape originals plus their three mirror
-    # variants (distinct content, same shapes).  Longer streams amortize the
-    # pipeline fill/drain: measured on-chip (round 4) the same work rate
-    # reads 0.80 MP/s over 4 batches and 0.89 MP/s over 8 — config 5 of
-    # BASELINE.json is a 1k-image stream, so the steadier number is the
-    # honest one.
+    # 64 images: the 16 landscape originals plus their three mirror variants
+    # (distinct content, same shapes).  Longer streams amortize the pipeline
+    # fill/drain: measured on-chip (round 4) the same work rate reads
+    # 0.80 MP/s over 4x8 and 0.89 MP/s over 8x8 — config 5 of BASELINE.json
+    # is a 1k-image stream, so the steadier number is the honest one.
     all_imgs = (
         bench_imgs
         + [np.ascontiguousarray(im[:, ::-1]) for im in bench_imgs]
@@ -131,8 +130,12 @@ def main():
     )
     # Batch size knob: bigger device batches amortize launches and pack the
     # padded buckets denser; smaller ones overlap better across workers.
+    # Round-5 worker sweep (64-image set, warm, repeated): bsz4/w8 1.12-1.19
+    # MP/s vs bsz8/w4 1.02-1.13, bsz4/w12+ and bsz2 worse — finer batches
+    # interleave host stages into device waits better than any worker count
+    # can at bsz>=8, and below 4 the fixed per-batch host costs win again.
     bsz = int(os.environ.get("RHCCQ_BENCH_BATCH", "0")) or max(
-        1, len(bench_imgs) // 2
+        1, min(4, len(bench_imgs))
     )
     bench_batches = [
         all_imgs[i: i + bsz] for i in range(0, len(all_imgs), bsz)
@@ -169,7 +172,7 @@ def main():
     # (scripts/sweep_stream.py, warm, round 4, workers <= n_batches so the
     # knob is real): bsz=8 -> w1 0.728 / w2 0.805 / w3 0.795 / w4 0.940
     # MP/s; bsz=16 -> w1 0.768 / w2 0.934.
-    workers = int(os.environ.get("RHCCQ_STREAM_WORKERS", "4"))
+    workers = int(os.environ.get("RHCCQ_STREAM_WORKERS", "8"))
     max_passes = int(os.environ.get("RHCCQ_BENCH_PASSES", "8"))
     pass_times = []
     converged = False
