@@ -230,3 +230,25 @@ def test_fast_edges_mode(lenna128):
     # Sanity: quality in a plausible band (exact value is mode-dependent).
     mse = float(((out.astype(float) - img) ** 2).mean())
     assert mse < 400.0, mse
+
+
+def test_encode_stream_sharded_mesh(reference_images):
+    """The threaded multi-batch stream over the mesh must be byte-identical
+    to the serial unsharded encode (mirrors dryrun_multichip's stream-level
+    assertion in CI: thread interleaving and device placement are pure
+    scheduling decisions)."""
+    import roibasedimagecompression_tpu as rtc
+    from roibasedimagecompression_tpu.io import image_io
+    from roibasedimagecompression_tpu.parallel import mesh as M
+    from roibasedimagecompression_tpu.parallel import stream
+
+    img = image_io.imread_rgb(reference_images / "png" / "Lenna.png")[::4, ::4]
+    batches = [
+        [img[:96, :96], img[16:112, 16:112]],
+        [img[32:128, :96], img[:96, 32:128]],
+    ]
+    cfg = rtc.CodecConfig()
+    mesh = M.make_mesh(2, space=1)
+    a = stream.encode_stream(batches, cfg, workers=2, mesh=mesh)
+    b = [stream.encode_many(x, cfg) for x in batches]
+    assert a == b
