@@ -226,6 +226,12 @@ def _enable_compilation_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.4)
     except Exception:
         pass  # cache flags vary across jax versions; never block import
+    # Key cache entries on the backend's COMPATIBILITY identity, not its
+    # per-session build/topology identity — otherwise a tunnel-worker
+    # restart silently strands every packed executable (utils/cachekey.py).
+    from roibasedimagecompression_tpu.utils import cachekey as _cachekey
+
+    _cachekey.install()
 
 
 _enable_compilation_cache()

@@ -1,0 +1,164 @@
+"""Stable persistent-cache keys across tunnel-worker restarts.
+
+jax's compilation-cache key hashes ``backend.platform_version`` verbatim and
+the serialized device topology (jax/_src/cache_key.py:334-336, 228-242).  On
+this environment the TPU is reached through a remote tunnel whose worker
+identity (build stamp line, job/endpoint strings inside the topology proto)
+can change between sessions; any such change silently re-keys EVERY cached
+executable, turning the committed warm pack into dead weight and the next
+cold start into a full remote-recompile wave.  Measured round 5: a same-day
+identity drift made the bench recompile all 174 of its graphs even though
+the pack was source-fresh; single graphs took 43-600+ s through the remote
+compile service.  The executables themselves stay loadable across the drift
+(verified by deserializing a pre-drift pack entry on the post-drift worker:
+``client.deserialize_executable`` succeeds), so the key should cover the
+COMPATIBILITY-relevant identity only:
+
+  - platform name + ``platform_version`` minus the build-stamp line
+    ("Built on <date> ... cl/<number>"), KEEPING the
+    "SerializedExecutable vN; compile-cache vN; compat cN" markers — a real
+    serialization-compatibility bump still re-keys everything;
+  - per-device ``(device_kind, coords, core_on_chip)`` instead of the
+    serialized topology proto (which can embed per-session endpoint names).
+
+A wrong reuse fails safe: jax catches deserialization errors on cache read
+and falls back to a fresh compile with a warning
+(jax/_src/compiler.py:761-785).  Opt out with RHCCQ_STABLE_CACHE_KEY=0.
+
+The reference has no analogue (pure NumPy/OpenCV, no compile step); this is
+part of matching its instant cold start (encoder/compression/test.py:77-151).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+_BUILD_LINE = re.compile(r"^Built on .*$", re.MULTILINE)
+
+
+def stable_platform_string(backend) -> str:
+    """platform_version with volatile build-stamp lines removed."""
+    v = getattr(backend, "platform_version", "")
+    return _BUILD_LINE.sub("", v).strip()
+
+
+def stable_devices_string(devices) -> str:
+    parts = []
+    for d in devices:
+        parts.append(
+            str(
+                (
+                    getattr(d, "device_kind", "?"),
+                    tuple(getattr(d, "coords", ()) or ()),
+                    getattr(d, "core_on_chip", -1),
+                )
+            )
+        )
+    return ";".join(parts)
+
+
+def _stable_hash_platform(hash_obj, backend):
+    from jax._src import cache_key as ck
+
+    ck._hash_string(hash_obj, backend.platform)
+    ck._hash_string(hash_obj, stable_platform_string(backend))
+
+
+def _stable_hash_accelerator_config(hash_obj, accelerators):
+    from jax._src import cache_key as ck
+
+    ck._hash_string(hash_obj, stable_devices_string(accelerators.flat))
+
+
+def install() -> bool:
+    """Patch jax's cache-key component hashers with the stable variants.
+
+    Must run before the first compile in the process (the package __init__
+    calls it from _enable_compilation_cache).  Returns True when installed.
+
+    Also installs a one-way migration shim: when the stable key has no cache
+    entry but the LEGACY (unpatched) key does — entries compiled by this
+    very worker before the stable scheme landed — the legacy file is copied
+    under the stable name, so the transition costs zero recompiles on a
+    machine with a live cache.
+    """
+    if os.environ.get("RHCCQ_STABLE_CACHE_KEY", "1") == "0":
+        return False
+    try:
+        import threading
+
+        from jax._src import cache_key as ck
+        from jax._src import compilation_cache as cc
+
+        if getattr(cc, "_rhccq_stable_keys", False):
+            return True
+        orig_hash_platform = ck._hash_platform
+        orig_hash_accel = ck._hash_accelerator_config
+        orig_get_cache_key = cc.get_cache_key
+        lock = threading.Lock()
+
+        def migrating_get_cache_key(
+            module, devices, compile_options, backend, *args, **kwargs
+        ):
+            # Serialized: the legacy computation below temporarily restores
+            # the original hashers, and cache_key.get resolves them as
+            # module globals at call time.
+            with lock:
+                key = orig_get_cache_key(
+                    module, devices, compile_options, backend, *args, **kwargs
+                )
+                try:
+                    import jax
+
+                    d = jax.config.jax_compilation_cache_dir
+                    if d and not os.path.exists(os.path.join(d, f"{key}-cache")):
+                        ck._hash_platform = orig_hash_platform
+                        ck._hash_accelerator_config = orig_hash_accel
+                        try:
+                            legacy = orig_get_cache_key(
+                                module, devices, compile_options, backend,
+                                *args, **kwargs,
+                            )
+                        finally:
+                            ck._hash_platform = _stable_hash_platform
+                            ck._hash_accelerator_config = (
+                                _stable_hash_accelerator_config
+                            )
+                        lp = os.path.join(d, f"{legacy}-cache")
+                        if legacy != key and os.path.exists(lp):
+                            import shutil
+
+                            tmp = os.path.join(
+                                d, f"{key}-cache.tmp-{os.getpid()}"
+                            )
+                            shutil.copyfile(lp, tmp)
+                            os.replace(tmp, os.path.join(d, f"{key}-cache"))
+                except Exception:
+                    pass  # migration is best-effort; a miss just recompiles
+            return key
+
+        # cache_key.get() looks the helpers up as module globals at call
+        # time, so rebinding the attributes is sufficient.
+        ck._hash_platform = _stable_hash_platform
+        ck._hash_accelerator_config = _stable_hash_accelerator_config
+        cc.get_cache_key = migrating_get_cache_key
+        cc._rhccq_stable_keys = True
+        return True
+    except Exception:
+        return False
+
+
+def identity_report() -> dict:
+    """Current backend identity, split into the stable basis (part of the
+    patched cache key) and the volatile remainder — recorded in
+    PACK_META.json so the next drift is attributable."""
+    import jax
+
+    backend = jax.devices()[0].client
+    return {
+        "platform": backend.platform,
+        "platform_version_raw": getattr(backend, "platform_version", ""),
+        "stable_platform": stable_platform_string(backend),
+        "stable_devices": stable_devices_string(jax.devices()),
+    }
