@@ -136,6 +136,13 @@ def install() -> bool:
                             os.replace(tmp, os.path.join(d, f"{key}-cache"))
                 except Exception:
                     pass  # migration is best-effort; a miss just recompiles
+                log_path = os.environ.get("RHCCQ_CACHE_LOG")
+                if log_path:
+                    try:
+                        with open(log_path, "a") as fh:
+                            fh.write(key + "\n")
+                    except OSError:
+                        pass
             return key
 
         # cache_key.get() looks the helpers up as module globals at call

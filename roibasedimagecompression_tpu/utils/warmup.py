@@ -202,4 +202,27 @@ def check_pack_freshness(log=print) -> bool:
             f"{meta.get('source_fingerprint')}, HEAD is {cur}) — graphs will "
             f"recompile; run scripts/build_warm_cache.py before benching")
         return False
+    # Source-fresh is necessary but NOT sufficient: the cache key also
+    # covers the backend's compatibility identity (utils/cachekey.py), and
+    # a tunnel-worker upgrade re-keys every entry with no source change
+    # (measured round 5).  Compare the stable basis when a backend is live.
+    packed = meta.get("backend_identity") or {}
+    if packed.get("stable_platform"):
+        try:
+            import sys as _sys
+
+            if "jax" in _sys.modules:
+                from roibasedimagecompression_tpu.utils import cachekey
+
+                cur_id = cachekey.identity_report()
+                for field in ("stable_platform", "stable_devices"):
+                    if cur_id.get(field) != packed.get(field):
+                        log(f"WARNING: warm pack is KEY-STALE — backend "
+                            f"{field} changed:\n  pack: {packed.get(field)!r}"
+                            f"\n  now:  {cur_id.get(field)!r}\n  every "
+                            f"packed executable will recompile; rebuild with "
+                            f"scripts/build_warm_cache.py --from-live")
+                        return False
+        except Exception:
+            pass  # identity check is advisory; never block the bench
     return True

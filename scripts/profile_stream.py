@@ -85,10 +85,15 @@ def main():
         stages = {
             k: round(v["seconds"], 3) for k, v in timing.stage_report().items()
         }
+        cpu = {
+            k: round(v["cpu_seconds"], 3)
+            for k, v in timing.stage_report().items()
+        }
         print(
             f"run {run}: {dt:.2f}s = {mp / dt:.4f} MP/s  stages={stages}",
             file=sys.stderr,
         )
+        print(f"run {run} cpu: {cpu}", file=sys.stderr)
         last = {"seconds": round(dt, 2), "mpps": round(mp / dt, 5), "stages": stages}
     print(json.dumps(last))
 

@@ -23,6 +23,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--limit", type=int, default=30)
     ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument(
+        "--budget", type=float, default=0.0,
+        help="per-entry seconds budget: entries exceeding it are reported "
+             "as failures and the exit code is 1 (pack validation mode)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -67,6 +72,15 @@ def main():
         print(f"{t_total:7.2f}s (dispatch {t_dispatch:6.2f}s) {fn} [{shapes}]")
     print(f"sum over sample: {sum(r[0] for r in rows):.1f}s "
           f"(dispatch {sum(r[1] for r in rows):.1f}s)", flush=True)
+    if args.budget > 0:
+        slow = [r for r in rows if r[0] > args.budget]
+        if slow:
+            print(f"VALIDATION FAILED: {len(slow)} entries exceeded the "
+                  f"{args.budget:.0f}s load budget (they compiled — the "
+                  f"pack is missing them or its keys are stale)", flush=True)
+            raise SystemExit(1)
+        print(f"VALIDATION OK: all {len(rows)} entries loaded within "
+              f"{args.budget:.0f}s", flush=True)
 
 
 if __name__ == "__main__":
