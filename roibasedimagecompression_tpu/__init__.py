@@ -224,6 +224,13 @@ def _enable_compilation_cache() -> None:
         jax.config.update("jax_compilation_cache_dir", target)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.4)
+        # The GPU-only XLA kernel/autotune sub-caches embed the CACHE DIR
+        # PATH into compile options, which are hashed into every cache key —
+        # so two processes with different cache dirs (pack builder in a tmp
+        # dir vs the bench in .jax_cache) silently compute disjoint keys and
+        # a committed warm pack never hits.  Measured round 5; useless on
+        # TPU anyway.  utils/cachekey.py migrates path-keyed legacy entries.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:
         pass  # cache flags vary across jax versions; never block import
     # Key cache entries on the backend's COMPATIBILITY identity, not its

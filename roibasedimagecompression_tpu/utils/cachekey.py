@@ -98,42 +98,86 @@ def install() -> bool:
         orig_get_cache_key = cc.get_cache_key
         lock = threading.Lock()
 
+        def _with_legacy_hashers(fn):
+            ck._hash_platform = orig_hash_platform
+            ck._hash_accelerator_config = orig_hash_accel
+            try:
+                return fn()
+            finally:
+                ck._hash_platform = _stable_hash_platform
+                ck._hash_accelerator_config = _stable_hash_accelerator_config
+
+        def _with_path_options(compile_options, cache_dir, fn):
+            """Re-create the historical compile options that embedded the
+            CACHE DIR PATH: jax's default persistent_cache_enable_xla_caches
+            ('xla_gpu_per_fusion_autotune_cache_dir') wrote the dir into
+            debug_options, so every pre-fix key is specific to the cache
+            path it was compiled under (jax/_src/compiler.py:258-280)."""
+            import pathlib
+
+            from jax._src.lib import xla_client as xc
+
+            dbg = compile_options.executable_build_options.debug_options
+            saved = (
+                dbg.xla_gpu_per_fusion_autotune_cache_dir,
+                dbg.xla_gpu_experimental_autotune_cache_mode,
+            )
+            dbg.xla_gpu_per_fusion_autotune_cache_dir = str(
+                pathlib.Path(cache_dir) / "xla_gpu_per_fusion_autotune_cache_dir"
+            )
+            dbg.xla_gpu_experimental_autotune_cache_mode = (
+                xc.AutotuneCacheMode.UPDATE
+            )
+            try:
+                return fn()
+            finally:
+                (
+                    dbg.xla_gpu_per_fusion_autotune_cache_dir,
+                    dbg.xla_gpu_experimental_autotune_cache_mode,
+                ) = saved
+
         def migrating_get_cache_key(
             module, devices, compile_options, backend, *args, **kwargs
         ):
-            # Serialized: the legacy computation below temporarily restores
-            # the original hashers, and cache_key.get resolves them as
-            # module globals at call time.
+            # Serialized: the legacy computations below temporarily restore
+            # the original hashers / historical compile options, and
+            # cache_key.get resolves the hashers as module globals at call
+            # time.
             with lock:
-                key = orig_get_cache_key(
+                compute = lambda: orig_get_cache_key(  # noqa: E731
                     module, devices, compile_options, backend, *args, **kwargs
                 )
+                key = compute()
                 try:
                     import jax
 
                     d = jax.config.jax_compilation_cache_dir
                     if d and not os.path.exists(os.path.join(d, f"{key}-cache")):
-                        ck._hash_platform = orig_hash_platform
-                        ck._hash_accelerator_config = orig_hash_accel
-                        try:
-                            legacy = orig_get_cache_key(
-                                module, devices, compile_options, backend,
-                                *args, **kwargs,
-                            )
-                        finally:
-                            ck._hash_platform = _stable_hash_platform
-                            ck._hash_accelerator_config = (
-                                _stable_hash_accelerator_config
-                            )
-                        lp = os.path.join(d, f"{legacy}-cache")
-                        if legacy != key and os.path.exists(lp):
-                            import shutil
+                        # Three legacy key epochs, newest first: worker-
+                        # identity drift (legacy hashers), cache-path-keyed
+                        # entries written after the stable hashers landed,
+                        # and path-keyed entries from before both fixes.
+                        candidates = [
+                            _with_legacy_hashers(compute),
+                            _with_path_options(compile_options, d, compute),
+                            _with_path_options(
+                                compile_options, d,
+                                lambda: _with_legacy_hashers(compute),
+                            ),
+                        ]
+                        for legacy in candidates:
+                            lp = os.path.join(d, f"{legacy}-cache")
+                            if legacy != key and os.path.exists(lp):
+                                import shutil
 
-                            tmp = os.path.join(
-                                d, f"{key}-cache.tmp-{os.getpid()}"
-                            )
-                            shutil.copyfile(lp, tmp)
-                            os.replace(tmp, os.path.join(d, f"{key}-cache"))
+                                tmp = os.path.join(
+                                    d, f"{key}-cache.tmp-{os.getpid()}"
+                                )
+                                shutil.copyfile(lp, tmp)
+                                os.replace(
+                                    tmp, os.path.join(d, f"{key}-cache")
+                                )
+                                break
                 except Exception:
                     pass  # migration is best-effort; a miss just recompiles
                 log_path = os.environ.get("RHCCQ_CACHE_LOG")
