@@ -223,7 +223,15 @@ def _enable_compilation_cache() -> None:
         _os.makedirs(target, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", target)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.4)
+        # Persist EVERY compile: the 0.4 s threshold silently dropped ~18
+        # bench-path graphs whose client-side compile TIMER reads near zero
+        # (the tunnel backend resolves compiles lazily, so the wall moves to
+        # first execution) — each then recompiled in every fresh process, at
+        # whatever latency the remote service was having (43-600+ s
+        # observed), which is exactly the cold-start tax the warm pack is
+        # supposed to remove.  Through a tunnel even a trivial compile costs
+        # a round trip, so there is nothing worth skipping.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
         # The GPU-only XLA kernel/autotune sub-caches embed the CACHE DIR
         # PATH into compile options, which are hashed into every cache key —
         # so two processes with different cache dirs (pack builder in a tmp

@@ -1,16 +1,26 @@
-"""Stable persistent-cache keys across tunnel-worker restarts.
+"""Stable persistent-cache keys: path-independent and worker-independent.
 
-jax's compilation-cache key hashes ``backend.platform_version`` verbatim and
-the serialized device topology (jax/_src/cache_key.py:334-336, 228-242).  On
-this environment the TPU is reached through a remote tunnel whose worker
-identity (build stamp line, job/endpoint strings inside the topology proto)
-can change between sessions; any such change silently re-keys EVERY cached
-executable, turning the committed warm pack into dead weight and the next
-cold start into a full remote-recompile wave.  Measured round 5: a same-day
-identity drift made the bench recompile all 174 of its graphs even though
-the pack was source-fresh; single graphs took 43-600+ s through the remote
-compile service.  The executables themselves stay loadable across the drift
-(verified by deserializing a pre-drift pack entry on the post-drift worker:
+Two distinct leaks made jax's compilation-cache keys unstable across
+processes in this environment, and either one silently strands the whole
+committed warm pack (cold start = a full remote-recompile wave at 43-600+ s
+per graph through the tunnel's compile service):
+
+1. **Cache-dir path in the key.**  jax's default
+   ``persistent_cache_enable_xla_caches`` writes the compilation-cache
+   DIRECTORY PATH into ``debug_options`` (the GPU autotune-cache dir,
+   jax/_src/compiler.py:258-280), and compile options are hashed into every
+   key — so a pack built under a tmp cache dir can never hit from
+   ``.jax_cache``, and vice versa.  The package disables those GPU-only
+   sub-caches (``jax_persistent_cache_enable_xla_caches="none"``, no loss
+   on TPU), making keys path-independent.  This, not executable-load
+   latency, was the dominant root cause of the round-4/5 cold starts.
+2. **Session identity in the key.**  The key also hashes
+   ``backend.platform_version`` verbatim and the serialized device topology
+   (jax/_src/cache_key.py:334-336, 228-242); the tunnel worker's identity
+   (build stamp line, endpoint strings) can change between sessions.
+
+The executables themselves stay loadable across either change (verified by
+deserializing a pre-drift pack entry on the post-drift worker:
 ``client.deserialize_executable`` succeeds), so the key should cover the
 COMPATIBILITY-relevant identity only:
 
